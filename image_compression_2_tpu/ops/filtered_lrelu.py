@@ -1,0 +1,49 @@
+"""Filtered leaky ReLU — the signature alias-free nonlinearity.
+
+``down( lrelu( up(x + b) ) )``: the activation is evaluated on a 2×
+oversampled grid so its high-frequency content stays below the Nyquist limit
+of the layer's output sampling rate.  This is the op the reference's frozen
+generator spends most of its FLOPs around (inside ``G.synthesis``,
+``/root/reference/stylegan3_hvae_full.py:274``).
+
+The lax composition below is the semantics-defining reference implementation;
+``image_compression_2_tpu.ops.pallas`` provides a fused TPU kernel for the hot
+configurations, validated against this function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .bias_act import bias_act
+from .upfirdn2d import upfirdn2d, Padding, _parse_padding
+
+
+def filtered_lrelu(
+    x: jnp.ndarray,
+    fu: Optional[np.ndarray],
+    fd: Optional[np.ndarray],
+    b: Optional[jnp.ndarray] = None,
+    up: int = 1,
+    down: int = 1,
+    padding: Padding = 0,
+    gain: float = float(np.sqrt(2.0)),
+    slope: float = 0.2,
+    clamp: Optional[float] = 256.0,
+) -> jnp.ndarray:
+    """Bias → upsample(fu) → leaky-ReLU(slope)·gain → clamp → downsample(fd).
+
+    ``x``: [B, H, W, C] NHWC. ``padding`` applies in the upsampling stage
+    (same contract as ``upfirdn2d``); the downsampling stage is valid-only.
+    The upsampling filter gets an ``up**2`` energy gain so interpolation
+    preserves signal magnitude.
+    """
+    px0, px1, py0, py1 = _parse_padding(padding)
+    x = bias_act(x, b)
+    x = upfirdn2d(x, fu, up=up, padding=(px0, px1, py0, py1), gain=up ** 2)
+    x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
+    x = upfirdn2d(x, fd, down=down)
+    return x

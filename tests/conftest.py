@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated the standard JAX way — a host-platform
+device count override — since real multi-chip hardware is not available in CI.
+Must run before jax initialises its backends, hence the env mutation at import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep single-core CI deterministic and fast.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The environment's site hook pins JAX_PLATFORMS to the TPU plugin before our
+# env override can land; force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()

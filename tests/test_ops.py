@@ -1,0 +1,172 @@
+"""Golden-value tests for the alias-free signal ops against brute-force numpy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_2_tpu.ops import (
+    bias_act,
+    design_lowpass_filter,
+    filtered_lrelu,
+    modulated_conv2d,
+    upfirdn2d,
+)
+
+
+def _upfirdn2d_numpy(x, f, up=1, down=1, padding=(0, 0, 0, 0), gain=1.0):
+    """Brute-force NHWC upfirdn: zero-stuff, pad, true-convolve, decimate."""
+    b, h, w, c = x.shape
+    px0, px1, py0, py1 = padding
+    if f is None:
+        f = np.ones([1, 1], dtype=np.float64)
+    f = np.asarray(f, dtype=np.float64)
+    # upsample
+    up_h, up_w = h * up, w * up
+    xu = np.zeros([b, up_h, up_w, c], dtype=np.float64)
+    xu[:, ::up, ::up, :] = x
+    # pad (negative = crop)
+    def _pad_axis(a, lo, hi, axis):
+        if lo > 0 or hi > 0:
+            widths = [(0, 0)] * a.ndim
+            widths[axis] = (max(lo, 0), max(hi, 0))
+            a = np.pad(a, widths)
+        if lo < 0:
+            a = np.take(a, range(-lo, a.shape[axis]), axis=axis)
+        if hi < 0:
+            a = np.take(a, range(0, a.shape[axis] + hi), axis=axis)
+        return a
+
+    xu = _pad_axis(xu, py0, py1, 1)
+    xu = _pad_axis(xu, px0, px1, 2)
+    # true convolution with the (possibly separable) filter, scaled by gain
+    if np.ndim(f) == 1:
+        f2 = np.outer(f, f)
+    else:
+        f2 = f
+    f2 = f2 * gain
+    th, tw = f2.shape
+    oh = xu.shape[1] - th + 1
+    ow = xu.shape[2] - tw + 1
+    out = np.zeros([b, oh, ow, c], dtype=np.float64)
+    ff = f2[::-1, ::-1]
+    for i in range(th):
+        for j in range(tw):
+            out += ff[i, j] * xu[:, i : i + oh, j : j + ow, :]
+    return out[:, ::down, ::down, :]
+
+
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, (0, 0, 0, 0)),
+    (2, 1, (3, 2, 3, 2)),
+    (1, 2, (2, 2, 2, 2)),
+    (2, 2, (5, 4, 4, 5)),
+    (1, 1, (-1, 2, 0, -1)),
+])
+@pytest.mark.parametrize("sep", [True, False])
+def test_upfirdn2d_matches_numpy(up, down, pad, sep):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 12, 10, 3).astype(np.float32)
+    f1 = design_lowpass_filter(numtaps=6, cutoff=0.35, width=0.3, fs=2.0)
+    f = f1 if sep else np.outer(f1, f1)
+    got = np.asarray(upfirdn2d(jnp.asarray(x), f, up=up, down=down,
+                               padding=pad, gain=1.7))
+    want = _upfirdn2d_numpy(x, f, up=up, down=down, padding=pad, gain=1.7)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_upfirdn2d_identity():
+    x = np.random.RandomState(1).randn(1, 8, 8, 2).astype(np.float32)
+    got = np.asarray(upfirdn2d(jnp.asarray(x), None))
+    np.testing.assert_allclose(got, x, rtol=1e-6)
+
+
+def test_design_lowpass_filter_props():
+    f = design_lowpass_filter(numtaps=12, cutoff=2.0, width=1.5, fs=16.0)
+    assert f.shape == (12,) and f.dtype == np.float32
+    np.testing.assert_allclose(f.sum(), 1.0, atol=1e-6)  # unit DC gain
+    np.testing.assert_allclose(f, f[::-1], atol=1e-7)    # symmetric
+    assert design_lowpass_filter(1, 2.0, 1.0, 16.0) is None
+    fr = design_lowpass_filter(numtaps=11, cutoff=2.0, width=1.5, fs=16.0,
+                               radial=True)
+    assert fr.shape == (11, 11)
+    np.testing.assert_allclose(fr.sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(fr, fr.T, atol=1e-7)      # radially symmetric
+
+
+def test_bias_act_lrelu():
+    x = jnp.asarray([[-2.0, 0.5]])
+    b = jnp.asarray([1.0, 0.0])
+    out = np.asarray(bias_act(x, b, act="lrelu", alpha=0.2, gain=2.0, clamp=1.5))
+    # (-2+1) -> -1 -> lrelu -0.2 -> gain -0.4 ; 0.5 -> 1.0
+    np.testing.assert_allclose(out, [[-0.4, 1.0]], rtol=1e-6)
+    # clamp engages
+    out2 = np.asarray(bias_act(jnp.asarray([[3.0]]), act="lrelu", gain=1.0, clamp=1.5))
+    np.testing.assert_allclose(out2, [[1.5]])
+
+
+def test_filtered_lrelu_matches_composition():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 9, 9, 4).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    fu = design_lowpass_filter(8, cutoff=0.4, width=0.4, fs=4.0)
+    fd = design_lowpass_filter(8, cutoff=0.4, width=0.4, fs=4.0)
+    pad = (6, 5, 5, 6)
+    got = np.asarray(
+        filtered_lrelu(jnp.asarray(x), fu, fd, jnp.asarray(b), up=2, down=2,
+                       padding=pad, gain=np.sqrt(2), slope=0.2, clamp=256.0)
+    )
+    # Independent composition in numpy.
+    xb = x + b[None, None, None, :]
+    up = _upfirdn2d_numpy(xb, fu, up=2, padding=pad, gain=4.0)
+    act = np.where(up >= 0, up, up * 0.2) * np.sqrt(2)
+    act = np.clip(act, -256, 256)
+    want = _upfirdn2d_numpy(act, fd, down=2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _modulated_conv_naive(x, w, styles, demodulate, padding, input_gain=None):
+    """Per-sample weight materialisation (the grouped-conv formulation)."""
+    x = np.asarray(x, np.float64)
+    w = np.asarray(w, np.float64)  # [kh,kw,I,O]
+    s = np.asarray(styles, np.float64)
+    if demodulate:
+        w = w / np.sqrt(np.mean(w ** 2, axis=(0, 1, 2), keepdims=True))
+        s = s / np.sqrt(np.mean(s ** 2))
+    outs = []
+    for bi in range(x.shape[0]):
+        wb = w * s[bi][None, None, :, None]
+        if demodulate:
+            d = 1.0 / np.sqrt(np.sum(wb ** 2, axis=(0, 1, 2)) + 1e-8)
+            wb = wb * d[None, None, None, :]
+        if input_gain is not None:
+            wb = wb * input_gain
+        xb = x[bi]
+        if padding:
+            xb = np.pad(xb, ((padding, padding), (padding, padding), (0, 0)))
+        kh, kw, ci, co = wb.shape
+        oh, ow = xb.shape[0] - kh + 1, xb.shape[1] - kw + 1
+        out = np.zeros([oh, ow, co])
+        for i in range(kh):
+            for j in range(kw):
+                out += np.einsum(
+                    "hwi,io->hwo", xb[i : i + oh, j : j + ow, :], wb[i, j]
+                )
+        outs.append(out)
+    return np.stack(outs)
+
+
+@pytest.mark.parametrize("demodulate,padding", [(True, 1), (False, 0), (True, 2)])
+def test_modulated_conv2d_matches_grouped_form(demodulate, padding):
+    rng = np.random.RandomState(3)
+    x = rng.randn(3, 7, 7, 5).astype(np.float32)
+    w = rng.randn(3, 3, 5, 6).astype(np.float32) * 0.3
+    s = (rng.randn(3, 5).astype(np.float32) * 0.5 + 1.0)
+    gain = np.float32(0.8)
+    got = np.asarray(
+        modulated_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(s),
+                         demodulate=demodulate, padding=padding, input_gain=gain)
+    )
+    want = _modulated_conv_naive(x, w, s, demodulate, padding, input_gain=gain)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
