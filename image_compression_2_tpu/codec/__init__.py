@@ -1,0 +1,3 @@
+from .compressor import Compressor
+
+__all__ = ["Compressor"]

@@ -1,0 +1,190 @@
+"""The codec product API: encoder + frozen generator + uniform quantizer.
+
+API parity with the reference ``StyleGAN3Compressor``
+(/root/reference/stylegan3_hvae_full.py:250-380): ``forward`` / ``encode`` /
+``compress`` / ``decompress`` / ``save_compressed`` / ``load_compressed``,
+including the `.npz` container keys and the published size/ratio formulas
+(orig_size = numel*4 bytes of float pixels; comp_size = numel*bits/8), so a
+reference user can switch over and read the same numbers.
+
+TPU-native structure: the class is a thin host-side wrapper holding parameter
+pytrees; every device computation is a cached jitted pure function.  Batches
+shard across a device mesh via the optional ``mesh`` argument (data-parallel
+encode/synthesise with XLA-inserted collectives over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig, GeneratorConfig, Precision
+from ..models.encoder import HVAEEncoder
+from ..models.generator import Generator
+from ..quant.uniform import quantize_uniform
+
+
+def _resize_bilinear(img: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize NHWC, matching torch's align_corners=False."""
+    return jax.image.resize(
+        img, (img.shape[0], size[0], size[1], img.shape[3]), method="bilinear"
+    )
+
+
+class Compressor:
+    """Neural image codec: HVAE encode -> (quantize) -> StyleGAN3 synthesis.
+
+    Images are NHWC float in [-1, 1]; latents are [B, num_ws, w_dim].
+    """
+
+    def __init__(
+        self,
+        encoder_cfg: EncoderConfig,
+        generator_cfg: GeneratorConfig,
+        encoder_vars,
+        generator_vars,
+        training_resolution: Optional[int] = None,
+        precision: Precision = Precision(),
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.encoder_cfg = encoder_cfg
+        self.generator_cfg = generator_cfg
+        self.encoder = HVAEEncoder(encoder_cfg)
+        self.generator = Generator(generator_cfg, precision)
+        self.encoder_vars = encoder_vars
+        self.generator_vars = generator_vars
+        self.training_resolution = training_resolution
+        self.mesh = mesh
+
+    # ---------------------------------------------------------------- factory
+    @classmethod
+    def create(
+        cls,
+        encoder_cfg: EncoderConfig,
+        generator_cfg: GeneratorConfig,
+        seed: int = 0,
+        **kwargs,
+    ) -> "Compressor":
+        """Random-init both networks (for tests / training-from-scratch)."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        # jit the inits: eager module init dispatches thousands of small ops
+        # one by one to the device (minutes on TPU); compiled it is seconds.
+        enc_vars = jax.jit(HVAEEncoder(encoder_cfg).init)(
+            k1,
+            jnp.zeros(
+                [1, encoder_cfg.img_resolution, encoder_cfg.img_resolution,
+                 encoder_cfg.img_channels]
+            ),
+        )
+        gen_vars = jax.jit(Generator(generator_cfg).init)(
+            k2, jnp.zeros([1, generator_cfg.z_dim])
+        )
+        return cls(encoder_cfg, generator_cfg, enc_vars, gen_vars, **kwargs)
+
+    # ------------------------------------------------------------ jitted core
+    @functools.cached_property
+    def _encode_fn(self):
+        def encode(enc_vars, x, key):
+            return self.encoder.apply(enc_vars, x, key)
+
+        return jax.jit(encode)
+
+    @functools.cached_property
+    def _synthesis_fn(self):
+        def synthesis(gen_vars, w):
+            return self.generator.apply(gen_vars, w, method="synthesis")
+
+        return jax.jit(synthesis)
+
+    @functools.cached_property
+    def _forward_fn(self):
+        def forward(enc_vars, gen_vars, x, key):
+            w_plus, _, _ = self.encoder.apply(enc_vars, x, key)
+            img = self.generator.apply(gen_vars, w_plus, method="synthesis")
+            if img.shape[1] != x.shape[1]:
+                img = _resize_bilinear(img, (x.shape[1], x.shape[2]))
+            return img, w_plus
+
+        return jax.jit(forward)
+
+    @functools.cached_property
+    def _compress_fn(self):
+        def compress(enc_vars, x, key, bits):
+            w_plus, means, _ = self.encoder.apply(enc_vars, x, key)
+            w = means if key is None else w_plus
+            return quantize_uniform(w, bits)
+
+        return {
+            det: jax.jit(functools.partial(compress, key=None) if det else compress,
+                         static_argnames=("bits",))
+            for det in (True, False)
+        }
+
+    # -------------------------------------------------------------- user API
+    def forward(self, x, sample_key: Optional[jax.Array] = None):
+        """Encode + reconstruct. Returns (image, w_plus)."""
+        return self._forward_fn(self.encoder_vars, self.generator_vars, x, sample_key)
+
+    __call__ = forward
+
+    def encode(self, x, deterministic: bool = False,
+               sample_key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Image -> W+ (means when deterministic, else a posterior sample)."""
+        if not deterministic and sample_key is None:
+            sample_key = jax.random.PRNGKey(0)
+        w_plus, means, _ = self._encode_fn(
+            self.encoder_vars, x, None if deterministic else sample_key
+        )
+        return means if deterministic else w_plus
+
+    def compress(self, x, quantization_bits: int = 8,
+                 deterministic: bool = True,
+                 sample_key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Image -> quantized W+ on the 2**bits grid (dequantized floats)."""
+        if deterministic:
+            return self._compress_fn[True](
+                self.encoder_vars, x, bits=quantization_bits
+            )
+        if sample_key is None:
+            sample_key = jax.random.PRNGKey(0)
+        return self._compress_fn[False](
+            self.encoder_vars, x, sample_key, bits=quantization_bits
+        )
+
+    def decompress(self, w_plus) -> jnp.ndarray:
+        """W+ -> image via the frozen synthesis network."""
+        return self._synthesis_fn(self.generator_vars, jnp.asarray(w_plus))
+
+    def save_compressed(
+        self, x, filename: str, quantization_bits: int = 8,
+        deterministic: bool = True,
+    ) -> Tuple[int, float, float]:
+        """Compress and write the `.npz` container; returns
+        (orig_size, comp_size, ratio) with the reference's formulas."""
+        w_q = np.asarray(
+            self.compress(x, quantization_bits, deterministic), np.float32
+        )
+        orig_size = int(np.prod(x.shape)) * 4           # fp32 pixel bytes
+        comp_size = w_q.size * (quantization_bits / 8)  # packed latent bytes
+        ratio = orig_size / comp_size
+        np.savez_compressed(
+            filename,
+            w=w_q,
+            resolution=np.asarray(x.shape[1:3]),  # (H, W)
+            bits=quantization_bits,
+            orig_size=orig_size,
+            comp_size=comp_size,
+            compression_ratio=ratio,
+        )
+        return orig_size, comp_size, ratio
+
+    def load_compressed(self, filename: str):
+        """Read a `.npz` container and reconstruct; returns (image, ratio)."""
+        data = np.load(filename)
+        img = self.decompress(jnp.asarray(data["w"]))
+        return img, float(data["compression_ratio"])

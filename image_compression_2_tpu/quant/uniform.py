@@ -1,0 +1,33 @@
+"""Uniform mid-tread latent quantization on the [-1, 1] W-space range.
+
+Semantics identical to the reference's ``StyleGAN3Compressor.compress``
+(/root/reference/stylegan3_hvae_full.py:295-318): map [-1,1] -> [0,1], round
+to ``2**bits - 1`` levels (round-half-even, which torch.round / numpy / jnp
+all share, so saved latents are bit-for-bit comparable), map back.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quantize_uniform(w: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Quantize latents in [-1,1] to ``bits`` bit levels (returns dequantized
+    float values on the quantization grid)."""
+    scale = (1 << bits) - 1
+    w01 = (w + 1.0) * 0.5
+    wq = jnp.round(w01 * scale) / scale
+    return wq * 2.0 - 1.0
+
+
+def quantize_to_indices(w: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Quantize to integer level indices in [0, 2**bits - 1] (for entropy
+    coding / compact storage)."""
+    scale = (1 << bits) - 1
+    w01 = jnp.clip((w + 1.0) * 0.5, 0.0, 1.0)
+    return jnp.round(w01 * scale).astype(jnp.int32)
+
+
+def dequantize_from_indices(idx: jnp.ndarray, bits: int) -> jnp.ndarray:
+    scale = (1 << bits) - 1
+    return (idx.astype(jnp.float32) / scale) * 2.0 - 1.0
