@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The framework parallelises the ways that fit this workload (SURVEY §2.8):
+data-parallel training/inference over the ``data`` axis, with an optional
+``model`` axis reserved for sharding the largest generator weights.  All
+communication is XLA-inserted collectives over ICI — there is no hand-written
+communication backend to maintain.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dimension sharding (leading axis over the data axis)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host array as a batch-sharded global array."""
+    return jax.device_put(batch, data_sharding(mesh))

@@ -1,0 +1,111 @@
+"""Gumbel-Softmax scalar-codebook discretization.
+
+Capability match for the reference's ``GumbelSoftmaxDiscretization``
+(/root/reference/gumbel_softmax_compression.py:26-137): a fixed linspace(-1,1)
+scalar codebook, a learnable log-temperature, distance-based logits, the
+Gumbel-Softmax relaxation with optional straight-through hard sampling,
+per-element nearest-codebook indices, and soft-assignment perplexity.
+
+TPU-first formulation: one batched [N, n_embeddings] distance/softmax block —
+a pure VPU+MXU computation with a static shape — instead of the reference's
+flattened per-element loop semantics (identical math).  Usage statistics are
+returned functionally (histogram via one-hot sum) rather than mutated in a
+buffer, so every apply stays pure under jit; the trainer accumulates them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class GumbelSoftmaxDiscretization(nn.Module):
+    """z [B, num_ws, w_dim] in ~[-1,1] -> (discretized, perplexity, indices)."""
+
+    n_embeddings: int = 256
+    initial_temperature: float = 1.0
+    learnable_temp: bool = True
+
+    def codebook(self) -> jnp.ndarray:
+        return jnp.linspace(-1.0, 1.0, self.n_embeddings, dtype=jnp.float32)
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        hard: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """``key=None`` disables Gumbel noise (deterministic eval path);
+        ``hard`` selects straight-through hard one-hots."""
+        orig_shape = z.shape
+        codebook = self.codebook()
+
+        log_temp_init = float(np.log(self.initial_temperature))
+        if self.learnable_temp:
+            log_temperature = self.param(
+                "log_temperature",
+                nn.initializers.constant(log_temp_init),
+                (1,),
+                jnp.float32,
+            )
+        else:
+            log_temperature = jnp.full([1], log_temp_init)
+        tau = jnp.exp(log_temperature)[0]
+
+        flat_z = z.reshape(-1, 1).astype(jnp.float32)
+        distances = jnp.abs(flat_z - codebook[None, :])  # [N, n_emb]
+        logits = -distances
+
+        if key is not None:
+            u = jax.random.uniform(
+                key, logits.shape, minval=1e-10, maxval=1.0 - 1e-10
+            )
+            gumbel = -jnp.log(-jnp.log(u))
+            logits_pert = logits + gumbel
+        else:
+            logits_pert = logits
+
+        soft = jax.nn.softmax(logits_pert / tau, axis=1)
+        if hard:
+            one_hot = jax.nn.one_hot(
+                jnp.argmax(logits_pert, axis=1), self.n_embeddings,
+                dtype=soft.dtype,
+            )
+            # straight-through: hard forward, soft gradient
+            assign = one_hot + soft - jax.lax.stop_gradient(soft)
+        else:
+            assign = soft
+
+        discretized = (assign @ codebook[:, None]).reshape(orig_shape)
+        encoding_indices = jnp.argmin(distances, axis=1).reshape(orig_shape)
+
+        avg_probs = jnp.mean(soft, axis=0)
+        perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+        return discretized, perplexity, encoding_indices
+
+
+def lookup_codebook(indices: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
+    """indices -> codebook values (the decode side of the discrete path)."""
+    codebook = jnp.linspace(-1.0, 1.0, n_embeddings, dtype=jnp.float32)
+    return codebook[indices]
+
+
+def usage_histogram(indices: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
+    """Count codebook usage for a batch of index tensors (device-side)."""
+    return jnp.bincount(indices.reshape(-1), length=n_embeddings)
+
+
+def anneal_log_temperature(
+    log_temperature: jnp.ndarray,
+    anneal_rate: float = 3e-5,
+    min_temp: float = 0.5,
+) -> jnp.ndarray:
+    """Reference annealing schedule (gumbel_softmax_compression.py:67-71):
+    clamp to log(min_temp) then subtract the rate."""
+    return jnp.maximum(log_temperature, float(np.log(min_temp))) - anneal_rate

@@ -1,0 +1,48 @@
+"""Training losses — semantics matched to the reference trainer.
+
+Reference formulas (/root/reference/stylegan3_hvae_full.py:671-690):
+    rec   = MSE(x, x̂)
+    percep= mean(LPIPS(x, x̂))
+    kl    = 0.5 * mean_b( Σ_{ws,dim} (μ - w_avg)² + e^logvar - logvar - 1 )
+    total = rec_weight*rec + perceptual_weight*percep + kl_weight*kl
+Defaults 1.0 / 0.8 / 0.01 (stylegan3_hvae_full.py:391-393).
+
+Deliberate fix vs the reference: the encoder runs ONCE per step (the reference
+re-encodes for the KL term, stylegan3_hvae_full.py:680, tripling encoder cost
+with inconsistent samples); the loss VALUES are identical because KL uses the
+same means/logvars the reconstruction path produced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    rec: float = 1.0
+    perceptual: float = 0.8
+    kl: float = 0.01
+    gumbel: float = 0.0  # stage-2 perplexity loss weight
+
+
+def mse_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(x - y))
+
+
+def kl_to_w_avg(
+    means: jnp.ndarray, logvars: jnp.ndarray, w_avg: jnp.ndarray
+) -> jnp.ndarray:
+    """KL(q(w|x) || N(w_avg, I)) summed over (num_ws, w_dim), batch-meaned."""
+    per_elem = (
+        jnp.square(means - w_avg) + jnp.exp(logvars) - logvars - 1.0
+    )
+    return 0.5 * jnp.mean(jnp.sum(per_elem, axis=(1, 2)))
+
+
+def perplexity_loss(perplexity: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
+    """Stage-2 codebook-usage loss: push perplexity toward full usage
+    (reference: gumbel_softmax_compression.py:549-558)."""
+    return jnp.square(perplexity - float(n_embeddings))

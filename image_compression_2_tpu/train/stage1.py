@@ -1,0 +1,186 @@
+"""Stage-1 training: reconstruction + perceptual + KL over a frozen generator.
+
+The train step is a pure jitted function, data-parallel over a
+``jax.sharding.Mesh``: parameters/optimizer state replicated, the batch
+sharded over the ``data`` axis, gradient all-reduce inserted by XLA's SPMD
+partitioner over ICI.  (The reference is single-device; SURVEY §2.8 marks DP
+as the required TPU-native addition.)
+
+Mixed precision: forward in bf16 on the synthesis high-res layers via
+``Precision``; parameters, loss and optimizer math in fp32 (no loss scaling
+needed on TPU, unlike the reference's CUDA GradScaler path whose non-fp16
+branch is broken — stylegan3_hvae_full.py:669).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig, GeneratorConfig, Precision
+from ..models.encoder import HVAEEncoder
+from ..models.generator import Generator
+from .losses import LossWeights, kl_to_w_avg, mse_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999):
+    """Adam with the reference's hyperparameters
+    (stylegan3_hvae_full.py:484)."""
+    return optax.adam(lr, b1=b1, b2=b2)
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_loss_fn(
+    encoder: HVAEEncoder,
+    generator: Generator,
+    lpips_apply: Optional[Callable] = None,
+    weights: LossWeights = LossWeights(),
+):
+    """Build loss(params, gen_vars, lpips_vars, w_avg, x, key) -> (loss, metrics)."""
+
+    def loss_fn(enc_params, gen_vars, lpips_vars, w_avg, x, key):
+        w_plus, means, logvars = encoder.apply({"params": enc_params}, x, key)
+        img = generator.apply(gen_vars, w_plus, method="synthesis")
+        if img.shape[1] != x.shape[1]:
+            img = jax.image.resize(img, x.shape, method="bilinear")
+        rec = mse_loss(x, img)
+        if lpips_apply is not None:
+            percep = jnp.mean(lpips_apply(lpips_vars, x, img))
+        else:
+            percep = jnp.zeros([])
+        kl = kl_to_w_avg(means, logvars, w_avg[None, None, :])
+        total = weights.rec * rec + weights.perceptual * percep + weights.kl * kl
+        metrics = {
+            "loss": total,
+            "rec_loss": rec,
+            "perceptual_loss": percep,
+            "kl_loss": kl,
+        }
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    encoder: HVAEEncoder,
+    generator: Generator,
+    optimizer,
+    lpips_apply: Optional[Callable] = None,
+    weights: LossWeights = LossWeights(),
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step.
+
+    With a mesh: the batch and the per-sample rng fold-in shard over 'data';
+    everything else is replicated.  Without a mesh: plain single-device jit.
+    """
+    loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights)
+
+    def step_fn(state: TrainState, gen_vars, lpips_vars, w_avg, x, key):
+        key = jax.random.fold_in(key, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, gen_vars, lpips_vars, w_avg, x, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+@dataclasses.dataclass
+class Stage1Setup:
+    """Everything needed to run stage-1 steps (built once per config)."""
+
+    encoder: HVAEEncoder
+    generator: Generator
+    optimizer: Any
+    state: TrainState
+    gen_vars: Any
+    lpips_vars: Any
+    w_avg: jnp.ndarray
+    train_step: Callable
+
+
+def build_stage1(
+    encoder_cfg: EncoderConfig,
+    generator_cfg: GeneratorConfig,
+    gen_vars=None,
+    lr: float = 1e-4,
+    weights: LossWeights = LossWeights(),
+    use_lpips: bool = True,
+    precision: Precision = Precision(),
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    lpips_image_size: Optional[int] = None,
+) -> Stage1Setup:
+    """Construct encoder/generator/LPIPS, optimizer and the jitted DP step."""
+    from .lpips import create_lpips
+
+    encoder = HVAEEncoder(encoder_cfg)
+    generator = Generator(generator_cfg, precision)
+    k_enc, k_gen = jax.random.split(jax.random.PRNGKey(seed))
+    enc_vars = jax.jit(encoder.init)(
+        k_enc,
+        jnp.zeros([1, encoder_cfg.img_resolution, encoder_cfg.img_resolution,
+                   encoder_cfg.img_channels]),
+    )
+    if gen_vars is None:
+        gen_vars = jax.jit(generator.init)(
+            k_gen, jnp.zeros([1, generator_cfg.z_dim])
+        )
+    lpips_apply = None
+    lpips_vars = None
+    if use_lpips:
+        _, lpips_vars, lpips_apply = create_lpips(
+            seed=seed,
+            image_size=lpips_image_size or encoder_cfg.img_resolution,
+        )
+    optimizer = make_optimizer(lr)
+    state = init_train_state(enc_vars["params"], optimizer)
+    w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
+    train_step = make_train_step(
+        encoder, generator, optimizer, lpips_apply, weights, mesh
+    )
+    return Stage1Setup(
+        encoder=encoder,
+        generator=generator,
+        optimizer=optimizer,
+        state=state,
+        gen_vars=gen_vars,
+        lpips_vars=lpips_vars,
+        w_avg=w_avg,
+        train_step=train_step,
+    )

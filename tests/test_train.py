@@ -1,0 +1,117 @@
+"""Stage-1 training tests: single-device step, 8-device DP step, checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_2_tpu.core import EncoderConfig, GeneratorConfig
+from image_compression_2_tpu.parallel import create_mesh, shard_batch
+from image_compression_2_tpu.train import (
+    LossWeights,
+    build_stage1,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+RES = 16
+
+
+def _configs():
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(
+        img_resolution=RES, w_dim=gen_cfg.w_dim, num_ws=gen_cfg.num_ws,
+        block_split=(2, 4),
+    )
+    return enc_cfg, gen_cfg
+
+
+def test_train_step_decreases_loss():
+    enc_cfg, gen_cfg = _configs()
+    setup = build_stage1(enc_cfg, gen_cfg, lr=3e-3, use_lpips=False,
+                         weights=LossWeights(rec=1.0, perceptual=0.0, kl=0.0))
+    x = jax.random.uniform(jax.random.PRNGKey(0), [4, RES, RES, 3],
+                           minval=-1, maxval=1)
+    key = jax.random.PRNGKey(1)
+    state = setup.state
+    losses = []
+    for _ in range(8):
+        state, metrics = setup.train_step(
+            state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+        )
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_with_lpips_runs():
+    enc_cfg, gen_cfg = _configs()
+    setup = build_stage1(enc_cfg, gen_cfg, use_lpips=True)
+    x = jnp.zeros([2, RES, RES, 3])
+    state, metrics = setup.train_step(
+        setup.state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x,
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(metrics["perceptual_loss"]))
+    assert set(metrics) == {"loss", "rec_loss", "perceptual_loss", "kl_loss"}
+
+
+def test_data_parallel_step_matches_single_device():
+    """DP over the 8-device CPU mesh must agree with single-device training."""
+    enc_cfg, gen_cfg = _configs()
+    mesh = create_mesh(n_data=8)
+    setup_dp = build_stage1(enc_cfg, gen_cfg, use_lpips=False, mesh=mesh,
+                            seed=3)
+    setup_1d = build_stage1(enc_cfg, gen_cfg, use_lpips=False, seed=3)
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), [8, RES, RES, 3],
+                           minval=-1, maxval=1)
+    key = jax.random.PRNGKey(6)
+    with mesh:
+        state_dp, m_dp = setup_dp.train_step(
+            setup_dp.state, setup_dp.gen_vars, None, setup_dp.w_avg,
+            shard_batch(np.asarray(x), mesh), key,
+        )
+    state_1d, m_1d = setup_1d.train_step(
+        setup_1d.state, setup_1d.gen_vars, None, setup_1d.w_avg, x, key
+    )
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1d["loss"]),
+                               rtol=1e-5)
+    # parameters after the step agree (gradient all-reduce == full-batch grad)
+    flat_dp = jax.tree_util.tree_leaves(state_dp.params)
+    flat_1d = jax.tree_util.tree_leaves(state_1d.params)
+    # tolerance: fp32 reduction-order differences get amplified by Adam's
+    # rsqrt at step 1 (measured max ≈ 2.8e-5 for lr=1e-4 updates)
+    for a, b in zip(flat_dp, flat_1d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    enc_cfg, gen_cfg = _configs()
+    setup = build_stage1(enc_cfg, gen_cfg, use_lpips=False)
+    x = jnp.zeros([2, RES, RES, 3])
+    state, _ = setup.train_step(
+        setup.state, setup.gen_vars, None, setup.w_avg, x, jax.random.PRNGKey(0)
+    )
+    path = str(tmp_path / "ckpt.ic2t")
+    save_checkpoint(path, state, meta={"epoch": 3, "history": {"loss": [1.0]}})
+    restored, meta = load_checkpoint(path, target=state)
+    assert meta["epoch"] == 3
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume: one more step from the restored state runs
+    state2, _ = setup.train_step(
+        restored, setup.gen_vars, None, setup.w_avg, x, jax.random.PRNGKey(1)
+    )
+    assert int(state2.step) == int(state.step) + 1
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
