@@ -1,0 +1,143 @@
+"""Entropy-coded codec: HVAE encode -> discretize -> CABAC -> `.cabac` file.
+
+API parity with the reference ``CABACCompressor``
+(/root/reference/cabac_compression.py:409-588): ``compress(x, use_cabac)``
+returning (bytes, metadata) with orig_size measured against raw index bytes,
+``decompress(bytes, metadata)``, ``save_compressed``/``load_compressed`` on a
+(corrected) `.cabac` container.  Differences by design:
+
+- every stream gets FRESH contexts (the reference mutates one shared model
+  across encode and decode, so its own roundtrip decodes with drifted state —
+  SURVEY §2.3 E5);
+- the device side (encoder, discretization, synthesis) is batched TPU work;
+  only the sequential range-coder loop runs on host, in native C++;
+- metadata additionally reports ``orig_size_pixels``/``ratio_vs_pixels`` so
+  both of the reference's two incompatible ratio definitions are explicit
+  (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..coding import decode as cabac_decode_auto
+from ..coding import encode as cabac_encode_auto
+from ..coding.container import read_cabac_file, write_cabac_file
+from .gumbel_compressor import GumbelCompressor
+
+
+class CABACCompressor(GumbelCompressor):
+    """GumbelCompressor + context-adaptive entropy coding of the indices.
+
+    Optional trained priors: ``calibrate(images)`` encodes a calibration batch
+    on the TPU, histograms the code indices per (num_ws, w_dim) position (a
+    batched one-hot reduction on device), and uses the smoothed table as the
+    entropy model's initial frequencies — capturing per-dimension latent
+    structure the in-stream adaptive contexts cannot see.  The prior travels
+    with the codec (``save_priors``/``load_priors``), NOT inside each
+    ``.cabac`` file; streams record which mode they used.
+    """
+
+    priors: Optional[np.ndarray] = None
+
+    def calibrate(self, images, batch_size: int = 8) -> np.ndarray:
+        from ..coding import build_prior
+
+        all_codes = []
+        n = images.shape[0]
+        for i in range(0, n, batch_size):
+            all_codes.append(np.asarray(super().compress(images[i:i + batch_size])))
+        self.priors = build_prior(np.concatenate(all_codes), self.n_embeddings)
+        return self.priors
+
+    def save_priors(self, filename: str) -> None:
+        assert self.priors is not None, "calibrate() first"
+        np.savez_compressed(filename, priors=self.priors,
+                            n_embeddings=self.n_embeddings)
+
+    def load_priors(self, filename: str) -> None:
+        data = np.load(filename)
+        assert int(data["n_embeddings"]) == self.n_embeddings
+        self.priors = np.asarray(data["priors"], np.uint16)
+
+    def compress_entropy(
+        self, x, use_cabac: bool = True, use_priors: Optional[bool] = None
+    ) -> Tuple[bytes, Dict]:
+        """Image batch -> (payload bytes, metadata)."""
+        if use_priors is None:
+            use_priors = self.priors is not None
+        codes = np.asarray(super().compress(x), np.int32)
+        orig_size = codes.size * np.log2(self.n_embeddings) / 8  # raw index B
+        if use_cabac:
+            priors = self.priors if use_priors else None
+            payload = cabac_encode_auto(codes, self.n_embeddings, priors)
+            # Entropy coding must never expand: if the codes carry ~no mutual
+            # information (e.g. an untrained encoder), fall back to packed raw.
+            raw = self._pack_raw(codes)
+            if len(raw) < len(payload):
+                payload, use_cabac, use_priors = raw, False, False
+        else:
+            use_priors = False
+            payload = self._pack_raw(codes)
+        comp_size = len(payload)
+        orig_size_pixels = int(np.prod(x.shape)) * 4
+        metadata = {
+            "codec": "ic2t-cabac-v1" if use_cabac else self._raw_codec_name(),
+            "shape": list(codes.shape),
+            "n_embeddings": int(self.n_embeddings),
+            "use_cabac": bool(use_cabac),
+            "use_priors": bool(use_priors),
+            "orig_size": float(orig_size),
+            "comp_size": int(comp_size),
+            "compression_ratio": float(orig_size / comp_size),
+            "orig_size_pixels": orig_size_pixels,
+            "ratio_vs_pixels": float(orig_size_pixels / comp_size),
+        }
+        return payload, metadata
+
+    def _raw_codec_name(self) -> str:
+        return "raw-u8" if self.n_embeddings <= 256 else "raw-u16"
+
+    def _pack_raw(self, codes: np.ndarray) -> bytes:
+        dt = np.uint8 if self.n_embeddings <= 256 else np.uint16
+        return codes.astype(dt).tobytes()
+
+    def _unpack_raw(self, payload: bytes, shape, codec: str) -> np.ndarray:
+        dt = {"raw-u8": np.uint8, "raw-u16": np.uint16,
+              "raw-int32": np.int32}[codec]
+        return np.frombuffer(payload, dt).reshape(shape).astype(np.int32)
+
+    def decompress_entropy(self, payload: bytes, metadata: Dict) -> jnp.ndarray:
+        shape = tuple(metadata["shape"])
+        if metadata.get("use_cabac", True):
+            priors = None
+            if metadata.get("use_priors", False):
+                assert self.priors is not None, (
+                    "stream was encoded with trained priors; load_priors() first"
+                )
+                priors = self.priors
+            codes = cabac_decode_auto(payload, shape, metadata["n_embeddings"],
+                                      priors)
+        else:
+            codes = self._unpack_raw(payload, shape, metadata["codec"])
+        return self.decompress(jnp.asarray(codes))
+
+    def save_compressed(  # type: ignore[override]
+        self, x, filename: str, use_cabac: bool = True
+    ) -> Tuple[float, int, float]:
+        payload, metadata = self.compress_entropy(x, use_cabac=use_cabac)
+        write_cabac_file(filename, payload, metadata)
+        return (
+            metadata["orig_size"],
+            metadata["comp_size"],
+            metadata["compression_ratio"],
+        )
+
+    def load_compressed(self, filename: str):  # type: ignore[override]
+        payload, metadata = read_cabac_file(filename)
+        img = self.decompress_entropy(payload, metadata)
+        return img, metadata["compression_ratio"]

@@ -1,0 +1,199 @@
+"""Context-adaptive arithmetic coding of latent code indices — the SPEC.
+
+Replaces the reference's ``ContextModel``/``cabac_encode``/``cabac_decode``
+(/root/reference/cabac_compression.py:60-406) with a well-defined,
+integer-exact scheme; ``native/cabac.cpp`` is the production C++ implementation
+and must produce byte-identical streams.
+
+Spec (ic2t-cabac v1):
+- Input: int32 array of shape [B, T, D] (batch, num_ws, w_dim), values in
+  [0, n_symbols).  Traversal: flat C order.  Fresh model state per stream
+  (the reference shares one mutating model across encode and decode —
+  SURVEY §2.3 E5 — which breaks its own roundtrips; forbidden here).
+- Entropy coder: the LZMA-style range coder in ``rangecoder.py``.
+- Adaptive model per context: integer frequencies; after coding s:
+  freq[s] += 32; when total >= 2^16: freq = (freq + 1) >> 1 elementwise.
+
+Two context modes (chosen by the caller, recorded in container metadata):
+- ``adaptive`` (no priors): context = quantized left neighbour,
+  key = 0 if d == 0 else (left >> shift) + 1, with
+  shift = max(0, bitlen(n_symbols - 1) - 5)  (≈32 buckets).
+  Exact-valued (left, above) contexts — what the reference uses — are too
+  sparse to adapt within one image (measured 1.03x vs 1.92x on correlated
+  codes); coarse left-buckets concentrate the statistics.
+- ``prior``: context = per-position (t*D + d); initial frequencies come from
+  a trained table ``priors[T, D, n_symbols]`` (uint16, >= 1) built by
+  ``build_prior`` from a calibration batch (smoothed histograms; the
+  histogramming is a batched one-hot reduction that runs on TPU).
+  Captures per-dimension latent structure that in-stream adaptation cannot
+  see with one sample per position.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .rangecoder import RangeDecoder, RangeEncoder
+
+INCREMENT = 32
+MAX_TOTAL = 1 << 16
+PRIOR_MASS = 4000
+PRIOR_SMOOTH_WIDTH = 4.0
+
+
+def context_shift(n_symbols: int) -> int:
+    return max(0, int(n_symbols - 1).bit_length() - 5)
+
+
+class _Model:
+    """Adaptive frequency tables for either context mode."""
+
+    def __init__(self, n_symbols: int, priors: Optional[np.ndarray]):
+        self.n_symbols = n_symbols
+        self.priors = priors
+        self.shift = context_shift(n_symbols)
+        self.models: Dict[int, np.ndarray] = {}
+        self.totals: Dict[int, int] = {}
+
+    def key(self, data: np.ndarray, b: int, t: int, d: int) -> int:
+        if self.priors is not None:
+            return t * data.shape[2] + d
+        if d == 0:
+            return 0
+        return (int(data[b, t, d - 1]) >> self.shift) + 1
+
+    def freqs(self, key: int) -> np.ndarray:
+        f = self.models.get(key)
+        if f is None:
+            if self.priors is not None:
+                T, D = self.priors.shape[:2]
+                f = self.priors[key // D, key % D].astype(np.int64)
+            else:
+                f = np.ones(self.n_symbols, np.int64)
+            self.models[key] = f
+            self.totals[key] = int(f.sum())
+        return f
+
+    def total(self, key: int) -> int:
+        return self.totals[key]
+
+    def update(self, key: int, symbol: int) -> None:
+        f = self.models[key]
+        f[symbol] += INCREMENT
+        t = self.totals[key] + INCREMENT
+        if t >= MAX_TOTAL:
+            np.right_shift(f + 1, 1, out=f)
+            t = int(f.sum())
+        self.totals[key] = t
+
+
+def _check(data: np.ndarray, n_symbols: int, priors: Optional[np.ndarray]):
+    assert data.ndim == 3, data.shape
+    assert data.min() >= 0 and data.max() < n_symbols, (
+        "symbols out of range for codebook"
+    )
+    if priors is not None:
+        assert priors.shape == (data.shape[1], data.shape[2], n_symbols), (
+            priors.shape,
+            data.shape,
+        )
+        assert priors.min() >= 1, "prior frequencies must be >= 1"
+        assert int(priors.sum(-1).max()) < MAX_TOTAL, (
+            "prior mass per position must stay below the halving threshold"
+        )
+
+
+def cabac_encode(
+    data: np.ndarray, n_symbols: int, priors: Optional[np.ndarray] = None
+) -> bytes:
+    """Encode an int array [B, T, D] with fresh model state."""
+    data = np.ascontiguousarray(data, np.int32)
+    _check(data, n_symbols, priors)
+    B, T, D = data.shape
+    model = _Model(n_symbols, priors)
+    enc = RangeEncoder()
+    for b in range(B):
+        for t in range(T):
+            for d in range(D):
+                key = model.key(data, b, t, d)
+                f = model.freqs(key)
+                s = int(data[b, t, d])
+                cum_lo = int(f[:s].sum())
+                cum_hi = cum_lo + int(f[s])
+                enc.encode(cum_lo, cum_hi, model.total(key))
+                model.update(key, s)
+    return enc.finish()
+
+
+def cabac_decode(
+    payload: bytes,
+    shape,
+    n_symbols: int,
+    priors: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode back to an int32 array of ``shape`` = (B, T, D)."""
+    B, T, D = shape
+    out = np.zeros((B, T, D), np.int32)
+    model = _Model(n_symbols, priors)
+    dec = RangeDecoder(payload)
+    for b in range(B):
+        for t in range(T):
+            for d in range(D):
+                key = model.key(out, b, t, d)
+                f = model.freqs(key)
+                cum = np.cumsum(f)
+                target = dec.decode_target(model.total(key))
+                s = int(np.searchsorted(cum, target, side="right"))
+                cum_lo = int(cum[s - 1]) if s > 0 else 0
+                dec.advance(cum_lo, int(cum[s]))
+                out[b, t, d] = s
+                model.update(key, s)
+    return out
+
+
+def build_prior(
+    codes: np.ndarray,
+    n_symbols: int,
+    mass: int = PRIOR_MASS,
+    smooth_width: float = PRIOR_SMOOTH_WIDTH,
+) -> np.ndarray:
+    """Build a per-position prior table from calibration codes [N, T, D].
+
+    Histogram per (t, d) over the calibration set, Gaussian-smoothed along the
+    symbol axis (the codebook is an ordered scalar grid, so nearby symbols are
+    a priori similar), normalised to ``mass`` with a floor of 1.  The
+    histogramming is a one-hot sum — done with jax on the accelerator for
+    large calibration sets.
+    """
+    codes = np.asarray(codes)
+    assert codes.ndim == 3
+    N, T, D = codes.shape
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        hist = np.asarray(
+            jax.jit(
+                lambda c: jnp.sum(
+                    jax.nn.one_hot(c, n_symbols, dtype=jnp.float32), axis=0
+                )
+            )(jnp.asarray(codes))
+        )
+    except Exception:
+        hist = np.zeros((T, D, n_symbols), np.float32)
+        for t in range(T):
+            for d in range(D):
+                hist[t, d] = np.bincount(codes[:, t, d], minlength=n_symbols)
+
+    if smooth_width > 0:
+        radius = int(np.ceil(3 * smooth_width))
+        k = np.exp(-0.5 * (np.arange(-radius, radius + 1) / smooth_width) ** 2)
+        k /= k.sum()
+        hist = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), -1, hist
+        )
+    probs = hist / np.maximum(hist.sum(-1, keepdims=True), 1e-12)
+    table = 1 + np.round(probs * mass)
+    return np.minimum(table, np.iinfo(np.uint16).max).astype(np.uint16)

@@ -1,0 +1,46 @@
+"""`.cabac` container format (v2) — a CORRECT header.
+
+The reference writes ``len(metadata)`` (the dict's key count!) as the header
+length and reads it back as the pickle byte length
+(/root/reference/cabac_compression.py:557 vs :579-580) — its files cannot be
+read back by its own loader.  This format fixes that and drops pickle
+entirely (no code execution on load):
+
+    magic  'IC2C' (4 bytes)
+    u32    version (= 2)
+    u32    json metadata length
+    bytes  json metadata  {shape, n_embeddings, use_cabac, orig_size,
+                           comp_size, compression_ratio, codec}
+    bytes  payload (CABAC stream or raw little-endian codes)
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict, Tuple
+
+_MAGIC = b"IC2C"
+_VERSION = 2
+
+
+def write_cabac_file(filename: str, payload: bytes, metadata: Dict) -> None:
+    meta_json = json.dumps(metadata).encode("utf-8")
+    with open(filename, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<II", _VERSION, len(meta_json)))
+        f.write(meta_json)
+        f.write(payload)
+
+
+def read_cabac_file(filename: str) -> Tuple[bytes, Dict]:
+    with open(filename, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{filename}: not an IC2C container")
+        version, meta_len = struct.unpack("<II", f.read(8))
+        if version != _VERSION:
+            raise ValueError(f"{filename}: unsupported version {version}")
+        metadata = json.loads(f.read(meta_len).decode("utf-8"))
+        payload = f.read()
+    return payload, metadata

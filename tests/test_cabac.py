@@ -1,0 +1,191 @@
+"""CABAC spec tests: roundtrip identity, Python/C++ bitstream equality,
+compression gain, container format, end-to-end codec."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_2_tpu.coding import (
+    build_prior,
+    cabac_decode,
+    cabac_encode,
+    decode_native,
+    encode_native,
+    native_available,
+    read_cabac_file,
+    write_cabac_file,
+)
+from image_compression_2_tpu.coding.rangecoder import RangeDecoder, RangeEncoder
+
+
+def _random_cases():
+    rng = np.random.RandomState(0)
+    cases = [
+        ("uniform", rng.randint(0, 256, size=(1, 4, 32)).astype(np.int32), 256),
+        ("skewed", np.clip(rng.poisson(3, size=(2, 3, 17)), 0, 15).astype(np.int32), 16),
+        ("constant", np.full((1, 5, 9), 7, np.int32), 256),
+        ("binary", rng.randint(0, 2, size=(3, 2, 11)).astype(np.int32), 2),
+        ("edgevals", np.asarray([[[0, 255, 0, 255, 128]]], np.int32), 256),
+    ]
+    return cases
+
+
+def test_rangecoder_roundtrip():
+    """Raw coder: encode/decode a fixed symbol stream with a static model."""
+    rng = np.random.RandomState(1)
+    freqs = np.asarray([5, 1, 10, 3, 1], np.int64)
+    cum = np.concatenate([[0], np.cumsum(freqs)])
+    total = int(cum[-1])
+    symbols = rng.choice(len(freqs), size=500, p=freqs / freqs.sum())
+    enc = RangeEncoder()
+    for s in symbols:
+        enc.encode(int(cum[s]), int(cum[s + 1]), total)
+    data = enc.finish()
+    dec = RangeDecoder(data)
+    out = []
+    for _ in symbols:
+        t = dec.decode_target(total)
+        s = int(np.searchsorted(np.cumsum(freqs), t, side="right"))
+        dec.advance(int(cum[s]), int(cum[s + 1]))
+        out.append(s)
+    np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.parametrize("name,data,n_sym", _random_cases())
+def test_python_roundtrip(name, data, n_sym):
+    payload = cabac_encode(data, n_sym)
+    out = cabac_decode(payload, data.shape, n_sym)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_native_builds():
+    assert native_available(), "C++ coder must build in this environment"
+
+
+@pytest.mark.parametrize("name,data,n_sym", _random_cases())
+def test_native_roundtrip_and_bitstream_equality(name, data, n_sym):
+    if not native_available():
+        pytest.skip("no native coder")
+    py_stream = cabac_encode(data, n_sym)
+    c_stream = encode_native(data, n_sym)
+    assert c_stream == py_stream, f"bitstream mismatch for case {name}"
+    # cross: python-encoded, native-decoded and vice versa
+    np.testing.assert_array_equal(
+        decode_native(py_stream, data.shape, n_sym), data)
+    np.testing.assert_array_equal(
+        cabac_decode(c_stream, data.shape, n_sym), data)
+
+
+def test_compression_beats_raw_on_correlated_data():
+    """Quantized-left contexts must compress neighbour-correlated codes well
+    below the fixed-rate bound (the reference claims 1.5-2x, README.md:370)."""
+    rng = np.random.RandomState(3)
+    steps = rng.randint(-4, 5, size=(1, 16, 512))
+    data = np.clip(128 + np.cumsum(steps, axis=2), 0, 255).astype(np.int32)
+    payload = encode_native(data, 256) if native_available() else cabac_encode(data, 256)
+    raw_bytes = data.size  # 8 bits/symbol
+    assert len(payload) < raw_bytes / 1.5, (len(payload), raw_bytes)
+
+
+def test_prior_mode_roundtrip_and_gain():
+    """Trained per-position priors: exact roundtrip, py/C++ bitstream equality,
+    and a real gain on per-dimension-structured codes (where in-stream
+    adaptation sees only one sample per position)."""
+    rng = np.random.RandomState(7)
+    mu = rng.uniform(-0.5, 0.5, (8, 64))
+    def sample(n, seed):
+        r = np.random.RandomState(seed)
+        lat = np.clip(r.normal(mu, 0.15, (n, 8, 64)), -1, 1)
+        return np.round((lat + 1) / 2 * 255).astype(np.int32)
+
+    priors = build_prior(sample(64, 1), 256)
+    assert priors.dtype == np.uint16 and priors.shape == (8, 64, 256)
+    test = sample(2, 2)
+    py = cabac_encode(test, 256, priors)
+    out = cabac_decode(py, test.shape, 256, priors)
+    np.testing.assert_array_equal(out, test)
+    if native_available():
+        cc = encode_native(test, 256, priors)
+        assert cc == py
+        np.testing.assert_array_equal(decode_native(py, test.shape, 256, priors),
+                                      test)
+    plain = cabac_encode(test, 256)
+    assert len(py) < len(plain) * 0.9, (len(py), len(plain))
+    assert len(py) < test.size / 1.15  # beats the 8-bit fixed rate
+
+
+def test_fresh_context_roundtrip_in_one_process():
+    """Back-to-back compress->decompress->compress must be stable (the
+    reference's shared mutating context model breaks this, SURVEY E5)."""
+    data = np.random.RandomState(4).randint(0, 64, (1, 8, 64)).astype(np.int32)
+    p1 = cabac_encode(data, 64)
+    out1 = cabac_decode(p1, data.shape, 64)
+    p2 = cabac_encode(data, 64)
+    assert p1 == p2  # deterministic, state-free across calls
+    np.testing.assert_array_equal(out1, data)
+
+
+def test_out_of_range_symbols_rejected():
+    bad = np.asarray([[[0, 300]]], np.int32)
+    with pytest.raises(AssertionError):
+        cabac_encode(bad, 256)
+    if native_available():
+        with pytest.raises(ValueError):
+            encode_native(bad, 256)
+
+
+def test_container_roundtrip(tmp_path):
+    payload = b"\x01\x02\x03magic-ish"
+    meta = {"shape": [1, 2, 3], "n_embeddings": 256, "use_cabac": True,
+            "orig_size": 6.0, "comp_size": 11, "compression_ratio": 0.5}
+    f = str(tmp_path / "x.cabac")
+    write_cabac_file(f, payload, meta)
+    p2, m2 = read_cabac_file(f)
+    assert p2 == payload and m2 == meta
+    # wrong magic rejected
+    with open(f, "r+b") as fh:
+        fh.write(b"XXXX")
+    with pytest.raises(ValueError):
+        read_cabac_file(f)
+
+
+def test_cabac_codec_end_to_end(tmp_path):
+    from image_compression_2_tpu.core import EncoderConfig, GeneratorConfig
+    from image_compression_2_tpu.codec.cabac_compressor import CABACCompressor
+
+    RES = 16
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(img_resolution=RES, w_dim=gen_cfg.w_dim,
+                                 num_ws=gen_cfg.num_ws, block_split=(2, 4))
+    comp = CABACCompressor.create(enc_cfg, gen_cfg, seed=0, n_embeddings=64)
+    x = jax.random.uniform(jax.random.PRNGKey(0), [1, RES, RES, 3],
+                           minval=-1, maxval=1)
+
+    payload, meta = comp.compress_entropy(x, use_cabac=True)
+    # untrained encoders emit ~uniform codes; the codec may legitimately pick
+    # the packed-raw fallback, but metadata must be self-consistent
+    if meta["use_cabac"]:
+        assert meta["codec"] == "ic2t-cabac-v1"
+    else:
+        assert meta["codec"] == "raw-u8"
+        assert meta["comp_size"] == np.prod(meta["shape"])  # 1 B/symbol
+    img = comp.decompress_entropy(payload, meta)
+    assert img.shape == (1, RES, RES, 3)
+    # the decompressed image equals decoding the raw indices directly
+    codes = comp.compress(x)
+    np.testing.assert_array_equal(np.asarray(img),
+                                  np.asarray(comp.decompress(codes)))
+
+    # file roundtrip, both entropy modes
+    for use_cabac in (True, False):
+        f = str(tmp_path / f"img_{use_cabac}.cabac")
+        o, c, r = comp.save_compressed(x, f, use_cabac=use_cabac)
+        img2, r2 = comp.load_compressed(f)
+        assert r2 == r
+        np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
+    # both ratio definitions reported
+    assert "ratio_vs_pixels" in meta and meta["ratio_vs_pixels"] > meta[
+        "compression_ratio"]
