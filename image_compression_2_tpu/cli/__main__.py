@@ -1,0 +1,385 @@
+"""Command-line interface.
+
+One entry point covering the reference's per-script CLIs (SURVEY §1 L6):
+
+    python -m image_compression_2_tpu.cli train        (stylegan3_hvae_full.py)
+    python -m image_compression_2_tpu.cli train-gumbel (gumbel_softmax_compression.py)
+    python -m image_compression_2_tpu.cli compress     (compressor/cabac save paths)
+    python -m image_compression_2_tpu.cli decompress
+    python -m image_compression_2_tpu.cli compare      (cabac_compression.py --compare)
+    python -m image_compression_2_tpu.cli generate     (memory_efficient_generator.py)
+    python -m image_compression_2_tpu.cli eval         (hvae_training.py --mode test)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_model_flags(p):
+    p.add_argument("--bundle", type=str, default=None,
+                   help="codec bundle (.ic2t) produced by `bundle`/training")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="training checkpoint (.ic2t) to build the codec from")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--generator-resolution", type=int, default=None,
+                   help="generator img_resolution (default: --resolution)")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-embeddings", type=int, default=256)
+
+
+def _load_codec(args, kind: str):
+    import jax.numpy as jnp
+
+    from ..codec.bundle import codec_from_training, load_codec
+    from ..core.config import EncoderConfig, GeneratorConfig, Precision
+
+    precision = Precision(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    if args.bundle:
+        return load_codec(args.bundle, precision=precision)
+    gen_res = args.generator_resolution or args.resolution
+    gen_cfg = GeneratorConfig(img_resolution=gen_res)
+    if args.checkpoint:
+        return codec_from_training(args.checkpoint, generator_cfg=gen_cfg,
+                                   kind=kind, precision=precision,
+                                   n_embeddings=args.n_embeddings,
+                                   seed=args.seed)
+    print("note: no --bundle/--checkpoint given; using a random-init codec")
+    enc_cfg = EncoderConfig(img_resolution=gen_res)
+    if kind == "uniform":
+        from ..codec import Compressor
+        return Compressor.create(enc_cfg, gen_cfg, seed=args.seed,
+                                 precision=precision)
+    if kind == "cabac":
+        from ..codec.cabac_compressor import CABACCompressor
+        return CABACCompressor.create(enc_cfg, gen_cfg, seed=args.seed,
+                                      n_embeddings=args.n_embeddings,
+                                      precision=precision)
+    from ..codec.gumbel_compressor import GumbelCompressor
+    return GumbelCompressor.create(enc_cfg, gen_cfg, seed=args.seed,
+                                   n_embeddings=args.n_embeddings,
+                                   precision=precision)
+
+
+def cmd_train(args):
+    from ..core.config import GeneratorConfig
+    from ..train import train_hvae_encoder
+
+    gen_cfg = GeneratorConfig(
+        img_resolution=args.generator_resolution or 1024)
+    train_hvae_encoder(
+        output_dir=args.output, training_resolution=args.resolution,
+        batch_size=args.batch_size, max_resolution=args.max_resolution,
+        num_epochs=args.epochs, lr=args.lr, kl_weight=args.kl_weight,
+        perceptual_weight=args.perceptual_weight, rec_weight=args.rec_weight,
+        bf16=args.bf16, resume_from=args.resume, save_every=args.save_every,
+        train_samples=args.train_samples, dataset_path=args.dataset,
+        val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
+        seed=args.seed,
+    )
+
+
+def cmd_train_gumbel(args):
+    from ..core.config import GeneratorConfig
+    from ..train import train_gumbel_hvae
+
+    gen_cfg = GeneratorConfig(
+        img_resolution=args.generator_resolution or 1024)
+    train_gumbel_hvae(
+        output_dir=args.output, training_resolution=args.resolution,
+        batch_size=args.batch_size, max_resolution=args.max_resolution,
+        num_epochs=args.epochs, lr=args.lr, temperature=args.temperature,
+        temp_anneal_rate=args.temp_anneal_rate,
+        min_temperature=args.min_temperature,
+        n_embeddings=args.n_embeddings, kl_weight=args.kl_weight,
+        perceptual_weight=args.perceptual_weight,
+        gumbel_weight=args.gumbel_weight, rec_weight=args.rec_weight,
+        bf16=args.bf16, resume_from=args.resume, save_every=args.save_every,
+        train_samples=args.train_samples, dataset_path=args.dataset,
+        val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
+        seed=args.seed,
+    )
+
+
+def cmd_compress(args):
+    import jax.numpy as jnp
+
+    from ..utils.images import load_image
+
+    method = args.method
+    if method == "auto":
+        method = "cabac" if args.output.endswith(".cabac") else "uniform"
+    codec = _load_codec(args, "cabac" if method == "cabac" else method)
+    x = jnp.asarray(load_image(args.image, args.resolution))[None]
+    t0 = time.time()
+    if method == "cabac":
+        orig, comp, ratio = codec.save_compressed(
+            x, args.output, use_cabac=not args.no_cabac)
+    elif method == "gumbel":
+        orig, comp, ratio = codec.save_compressed(x, args.output)
+    else:
+        orig, comp, ratio = codec.save_compressed(
+            x, args.output, quantization_bits=args.bits)
+    dt = time.time() - t0
+    print(f"compressed {args.image} -> {args.output}")
+    print(f"  original: {orig / 1024:.2f} KB   compressed: {comp / 1024:.2f} KB"
+          f"   ratio: {ratio:.2f}x   time: {dt:.2f}s")
+
+
+def cmd_decompress(args):
+    from ..utils.images import save_image
+
+    method = args.method
+    if method == "auto":
+        method = "cabac" if args.compressed.endswith(".cabac") else "uniform"
+    codec = _load_codec(args, "cabac" if method == "cabac" else method)
+    t0 = time.time()
+    img, ratio = codec.load_compressed(args.compressed)
+    dt = time.time() - t0
+    save_image(np.asarray(img)[0], args.output)
+    print(f"decompressed {args.compressed} -> {args.output} "
+          f"(ratio {ratio:.2f}x, {dt:.2f}s)")
+
+
+def cmd_compare(args):
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..metrics.report import evaluate_roundtrip, format_report
+    from ..utils.images import load_image, to_uint8
+
+    os.makedirs(args.output, exist_ok=True)
+    x_np = load_image(args.image, args.resolution)
+    x = jnp.asarray(x_np)[None]
+    pil = Image.fromarray(to_uint8(x_np))
+
+    rows = []
+    for fmt, kwargs in [("PNG", {}), ("JPEG", {"quality": 90}),
+                        ("WEBP", {"quality": 90})]:
+        buf = io.BytesIO()
+        try:
+            pil.save(buf, format=fmt, **kwargs)
+        except Exception:
+            continue
+        rows.append((f"{fmt.lower()}{kwargs.get('quality', '')}",
+                     buf.getbuffer().nbytes, None))
+
+    codec = _load_codec(args, "cabac")
+    for use_cabac, name in [(False, "hvae-raw"), (True, "hvae-cabac")]:
+        payload, meta = codec.compress_entropy(x, use_cabac=use_cabac)
+        recon = codec.decompress_entropy(payload, meta)
+        if recon.shape[1] != x.shape[1]:
+            import jax
+            recon = jax.image.resize(recon, x.shape, method="bilinear")
+        m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), len(payload))
+        rows.append((name, len(payload), m))
+
+    # uniform-quantization row reuses the SAME encoder/generator weights
+    from ..codec import Compressor
+
+    uni = Compressor(codec.encoder_cfg, codec.generator_cfg,
+                     codec.encoder_vars, codec.generator_vars,
+                     training_resolution=codec.training_resolution)
+    f = os.path.join(args.output, "uniform.npz")
+    orig, comp, ratio = uni.save_compressed(x, f, quantization_bits=args.bits)
+    recon, _ = uni.load_compressed(f)
+    if recon.shape[1] != x.shape[1]:
+        import jax
+        recon = jax.image.resize(recon, x.shape, method="bilinear")
+    m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), comp)
+    rows.append((f"hvae-uniform-{args.bits}bit", int(comp), m))
+
+    pix_bytes = x_np.size * 4
+    print(f"\n{'method':24s} {'size':>10s} {'ratio':>8s} {'psnr':>7s} {'ssim':>7s}")
+    for name, size, m in rows:
+        psnr_s = f"{m['psnr']:.2f}" if m else "-"
+        ssim_s = f"{m['ssim']:.4f}" if m else "-"
+        print(f"{name:24s} {size / 1024:8.2f}KB {pix_bytes / size:7.1f}x "
+              f"{psnr_s:>7s} {ssim_s:>7s}")
+
+
+def cmd_generate(args):
+    import jax.numpy as jnp
+
+    from ..core.config import GeneratorConfig, Precision
+    from ..models.sampler import BatchedSampler
+
+    gen_cfg = GeneratorConfig(
+        img_resolution=args.generator_resolution or args.resolution)
+    gen_vars = None
+    if args.bundle:
+        from ..codec.bundle import load_codec
+        codec = load_codec(args.bundle)
+        gen_cfg = codec.generator_cfg
+        gen_vars = codec.generator_vars
+    sampler = BatchedSampler(
+        gen_cfg, gen_vars=gen_vars, batch_size=args.batch_size,
+        precision=Precision(
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32),
+        seed=args.seed,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    t0 = time.time()
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",")]
+        sampler.generate_from_seeds(seeds, args.truncation_psi, args.output)
+        n = len(seeds)
+    else:
+        sampler.generate_images(args.num, seed=args.seed,
+                                truncation_psi=args.truncation_psi,
+                                output_dir=args.output)
+        n = args.num
+    dt = time.time() - t0
+    print(f"generated {n} images to {args.output} "
+          f"({n / dt:.2f} img/s incl. compile)")
+
+
+def cmd_eval(args):
+    import jax.numpy as jnp
+
+    from ..metrics.report import evaluate_roundtrip, format_report
+    from ..utils.images import load_image, save_image
+
+    codec = _load_codec(args, "uniform")
+    x = jnp.asarray(load_image(args.image, args.resolution))[None]
+    os.makedirs(args.output, exist_ok=True)
+    report_lines = []
+    for bits in [int(b) for b in args.bits_sweep.split(",")]:
+        f = os.path.join(args.output, f"eval_{bits}bit.npz")
+        orig, comp, ratio = codec.save_compressed(x, f, quantization_bits=bits)
+        recon, _ = codec.load_compressed(f)
+        if recon.shape[1] != x.shape[1]:
+            import jax
+            recon = jax.image.resize(recon, x.shape, method="bilinear")
+        m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), comp)
+        report_lines.append(format_report(m, title=f"{bits}-bit uniform"))
+        save_image(np.asarray(recon)[0],
+                   os.path.join(args.output, f"recon_{bits}bit.png"))
+    report = "\n".join(report_lines)
+    with open(os.path.join(args.output, "metrics.txt"), "w") as fh:
+        fh.write(report + "\n")
+    print(report)
+
+
+def cmd_bundle(args):
+    from ..codec.bundle import codec_from_training, save_codec
+
+    codec = _load_codec(args, args.kind)
+    save_codec(args.output, codec)
+    print(f"wrote codec bundle: {args.output}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="image_compression_2_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="stage-1 HVAE encoder training")
+    p.add_argument("--output", type=str, default="./output")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--generator-resolution", type=int, default=None)
+    p.add_argument("--max-resolution", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--kl-weight", type=float, default=0.01)
+    p.add_argument("--perceptual-weight", type=float, default=0.8)
+    p.add_argument("--rec-weight", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--train-samples", type=int, default=50)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--val-dataset", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-gumbel", help="stage-2 Gumbel training")
+    p.add_argument("--output", type=str, default="./output_gumbel")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--generator-resolution", type=int, default=None)
+    p.add_argument("--max-resolution", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--temp-anneal-rate", type=float, default=3e-5)
+    p.add_argument("--min-temperature", type=float, default=0.5)
+    p.add_argument("--n-embeddings", type=int, default=256)
+    p.add_argument("--kl-weight", type=float, default=0.01)
+    p.add_argument("--perceptual-weight", type=float, default=0.8)
+    p.add_argument("--gumbel-weight", type=float, default=1.0)
+    p.add_argument("--rec-weight", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--train-samples", type=int, default=50)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--val-dataset", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_train_gumbel)
+
+    p = sub.add_parser("compress", help="compress an image file")
+    _add_model_flags(p)
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
+                   default="auto")
+    p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--no-cabac", action="store_true")
+    p.set_defaults(fn=cmd_compress)
+
+    p = sub.add_parser("decompress", help="decompress to an image file")
+    _add_model_flags(p)
+    p.add_argument("--compressed", type=str, required=True)
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
+                   default="auto")
+    p.set_defaults(fn=cmd_decompress)
+
+    p = sub.add_parser("compare", help="compare vs PNG/JPEG/WebP")
+    _add_model_flags(p)
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--output", type=str, default="./compare_out")
+    p.add_argument("--bits", type=int, default=8)
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("generate", help="sample images from the generator")
+    _add_model_flags(p)
+    p.add_argument("--output", type=str, default="./generated")
+    p.add_argument("--num", type=int, default=4)
+    p.add_argument("--seeds", type=str, default=None,
+                   help="comma-separated explicit seeds")
+    p.add_argument("--truncation-psi", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("eval", help="roundtrip quality report (PSNR/SSIM/bpp)")
+    _add_model_flags(p)
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--output", type=str, default="./eval_out")
+    p.add_argument("--bits-sweep", type=str, default="4,8,10")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bundle", help="package a training checkpoint as a codec bundle")
+    _add_model_flags(p)
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--kind", choices=["auto", "uniform", "gumbel", "cabac"],
+                   default="auto")
+    p.set_defaults(fn=cmd_bundle)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Datasets + a background-prefetching batch loader.
+
+Capability parity with the reference data layer (SURVEY §2.5):
+- ``ImageFolderDataset`` ≙ ``ImageDataset`` (stylegan3_hvae_full.py:936-998):
+  recursive folder scan for png/jpg/jpeg (ImageNet class-dir aware), Lanczos
+  resize, [-1,1] normalisation.  Corrupt files are skipped with a warning
+  (the reference silently recurses to the next index or yields zeros).
+- ``SyntheticDataset``  ≙ stylegan3_hvae_full.py:1001-1020: in-memory tensor
+  dataset of generator samples (+ optional W vectors).
+- ``BatchLoader``: shuffled epochs, fixed batch shapes (drop-remainder by
+  default — static shapes keep XLA from recompiling), and a double-buffered
+  background thread decoding the next batch while the TPU computes (the
+  torch-DataLoader-worker analogue without multiprocessing).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.images import load_image
+
+_EXTS = (".png", ".jpg", ".jpeg")
+
+
+class ImageFolderDataset:
+    def __init__(
+        self,
+        image_folder: str,
+        resolution: int = 256,
+        recursive: bool = True,
+        file_extensions: Sequence[str] = _EXTS,
+        max_images: Optional[int] = None,
+    ):
+        self.image_folder = image_folder
+        self.resolution = resolution
+        exts = tuple(e.lower() for e in file_extensions)
+        paths: List[str] = []
+        if recursive:
+            for root, _dirs, files in os.walk(image_folder):
+                for f in sorted(files):
+                    if f.lower().endswith(exts):
+                        paths.append(os.path.join(root, f))
+        else:
+            for f in sorted(os.listdir(image_folder)):
+                if f.lower().endswith(exts):
+                    paths.append(os.path.join(image_folder, f))
+        if max_images is not None:
+            paths = paths[:max_images]
+        if not paths:
+            raise FileNotFoundError(f"no images under {image_folder}")
+        self.paths = paths
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        try:
+            return load_image(self.paths[idx], self.resolution)
+        except Exception as e:  # corrupt file: deterministic zero image
+            print(f"warning: failed to load {self.paths[idx]}: {e}")
+            return np.zeros([self.resolution, self.resolution, 3], np.float32)
+
+
+class SyntheticDataset:
+    """In-memory dataset of images [N,H,W,C] (+ optional W vectors)."""
+
+    def __init__(self, images: np.ndarray, w_vectors: Optional[np.ndarray] = None):
+        self.images = np.asarray(images)
+        self.w_vectors = None if w_vectors is None else np.asarray(w_vectors)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        if self.w_vectors is not None:
+            return self.images[idx], self.w_vectors[idx]
+        return self.images[idx]
+
+
+class BatchLoader:
+    """Shuffled, prefetching batch iterator with static batch shapes."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices: np.ndarray) -> np.ndarray:
+        items = [self.dataset[int(i)] for i in indices]
+        if isinstance(items[0], tuple):
+            return tuple(np.stack([it[j] for it in items]) for j in range(len(items[0])))
+        return np.stack(items)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = self._epoch_indices()
+        self.epoch += 1
+        n_batches = len(self)
+        starts = [i * self.batch_size for i in range(n_batches)]
+
+        if self.prefetch <= 0:
+            for s in starts:
+                yield self._make_batch(idx[s:s + self.batch_size])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for s in starts:
+                if stop.is_set():
+                    return
+                q.put(self._make_batch(idx[s:s + self.batch_size]))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def generate_synthetic_dataset(
+    generator,
+    gen_vars,
+    num_samples: int = 50,
+    batch_size: int = 8,
+    resolution: Optional[int] = None,
+    seed: int = 42,
+    truncation_psi: float = 1.0,
+):
+    """Sample (images, ws) from the frozen generator — the reference's
+    synthetic-data path (stylegan3_hvae_full.py:536-599; seed 42, mapping →
+    synthesis → resize to training resolution)."""
+    import jax
+    import jax.numpy as jnp
+
+    z_dim = generator.cfg.z_dim
+    key = jax.random.PRNGKey(seed)
+    z_all = jax.random.normal(key, [num_samples, z_dim])
+
+    @jax.jit
+    def sample(z):
+        ws = generator.apply(gen_vars, z, truncation_psi, method="mapping")
+        img = generator.apply(gen_vars, ws, method="synthesis")
+        if resolution is not None and img.shape[1] != resolution:
+            img = jax.image.resize(
+                img, (img.shape[0], resolution, resolution, img.shape[3]),
+                method="bilinear",
+            )
+        return img, ws
+
+    images, ws = [], []
+    for i in range(0, num_samples, batch_size):
+        z = z_all[i:i + batch_size]
+        if z.shape[0] < batch_size:  # pad to static shape, then trim
+            pad = batch_size - z.shape[0]
+            img, w = sample(jnp.concatenate([z, z_all[:pad]], axis=0))
+            img, w = img[: z.shape[0]], w[: z.shape[0]]
+        else:
+            img, w = sample(z)
+        images.append(np.asarray(img))
+        ws.append(np.asarray(w))
+    return SyntheticDataset(np.concatenate(images), np.concatenate(ws))

@@ -54,6 +54,9 @@ def modulated_conv2d(
         in_scale = in_scale * jnp.asarray(input_gain, dtype=jnp.float32)
 
     xs = x * in_scale[:, None, None, :].astype(in_dtype)
+    # fp32: force true-fp32 MXU passes. bf16: let the MXU accumulate in fp32
+    # internally but keep the output dtype bf16 — requesting an fp32 output
+    # from a bf16 conv makes the transpose (grad) conv see mixed dtypes.
     precision = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         xs,
@@ -61,7 +64,7 @@ def modulated_conv2d(
         window_strides=(1, 1),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=in_dtype,
         precision=precision,
     )
 

@@ -51,25 +51,25 @@ def _conv_pass(
 ) -> jnp.ndarray:
     """One depthwise conv pass implementing zero-stuff + pad + filter + decimate."""
     channels = x.shape[-1]
-    kernel = jnp.tile(taps[:, :, None, None].astype(jnp.float32), (1, 1, 1, channels))
+    dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    kernel = jnp.tile(taps[:, :, None, None].astype(dtype), (1, 1, 1, channels))
     # lhs_dilation yields (H-1)*up+1 samples; the upfirdn contract appends
     # up-1 trailing zeros to reach H*up, which is the same as padding high.
     pad_y = (pad[0][0], pad[0][1] + (up[0] - 1))
     pad_x = (pad[1][0], pad[1][1] + (up[1] - 1))
     # fp32 inputs get true-fp32 accuracy on the MXU; bf16 inputs take the fast
-    # path (this is the production mixed-precision mode).
-    precision = (
-        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    )
+    # path end-to-end (matching the dtypes also keeps the transpose/grad conv
+    # dtype-consistent).
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x.astype(dtype),
         kernel,
         window_strides=down,
         padding=(pad_y, pad_x),
         lhs_dilation=up,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=channels,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
         precision=precision,
     )
     return out

@@ -1,0 +1,342 @@
+"""High-level training loops (the product trainers).
+
+Capability parity with the reference trainers (SURVEY §2.4):
+- ``train_hvae_encoder``  ≙ stylegan3_hvae_full.py:383-921 (stage 1)
+- ``train_gumbel_hvae``   ≙ gumbel_softmax_compression.py:322-697 (stage 2)
+
+Shared mechanics: real-folder or synthetic (seeded G-sample) data, epoch loop
+with per-epoch loss history, optional validation, periodic sample dumps
+(original / reconstructed / 8-bit-quantized), periodic + final checkpoints,
+and resume.  Deliberate fixes vs the reference: the encoder runs once per
+step (not 3x), the non-mixed-precision path actually trains (the reference's
+runs under no_grad — stylegan3_hvae_full.py:669), and stage-2 resume accepts
+stage-1 checkpoints.
+
+TPU-native: one jitted DP train step over an optional device mesh; host code
+only moves batches and writes artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig, GeneratorConfig, Precision
+from ..data.dataset import (
+    BatchLoader,
+    ImageFolderDataset,
+    generate_synthetic_dataset,
+)
+from ..metrics.report import MetricsLogger
+from ..parallel.mesh import shard_batch
+from ..quant.uniform import quantize_uniform
+from ..utils.images import save_image
+from .checkpoint import load_checkpoint, save_checkpoint
+from .losses import LossWeights
+from .stage1 import TrainState, build_stage1
+from .stage2 import apply_temperature_anneal, build_stage2
+
+
+def _epoch_pass(setup, loader, state, key, mesh, train: bool):
+    """One pass over the loader; returns (state, averaged metrics)."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for batch in loader:
+        x = batch[0] if isinstance(batch, tuple) else batch
+        bsz = x.shape[0]
+        if mesh is not None:
+            x = shard_batch(np.asarray(x, np.float32), mesh)
+        else:
+            x = jnp.asarray(x, jnp.float32)
+        if train:
+            state, metrics = setup.train_step(
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+            )
+        else:
+            _, metrics = setup.train_step(  # eval: discard the updated state
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+            )
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * bsz
+        n += bsz
+    return state, {k: v / max(n, 1) for k, v in sums.items()}
+
+
+def _dump_samples(setup, state, images, gen_vars, out_dir, tag, stage2=False):
+    """original / reconstructed / 8-bit-quantized sample PNGs."""
+    os.makedirs(out_dir, exist_ok=True)
+    x = jnp.asarray(images[:3], jnp.float32)
+    enc_params = state.params["encoder"] if stage2 else state.params
+    _, means, _ = setup.encoder.apply({"params": enc_params}, x, None)
+    recon = setup.generator.apply(gen_vars, means, method="synthesis")
+    quant = setup.generator.apply(
+        gen_vars, quantize_uniform(means, 8), method="synthesis"
+    )
+    if recon.shape[1] != x.shape[1]:
+        recon = jax.image.resize(recon, x.shape, method="bilinear")
+        quant = jax.image.resize(quant, x.shape, method="bilinear")
+    for i in range(x.shape[0]):
+        save_image(np.asarray(x[i]), os.path.join(out_dir, f"{tag}_{i}_original.png"))
+        save_image(np.asarray(recon[i]),
+                   os.path.join(out_dir, f"{tag}_{i}_reconstructed.png"))
+        save_image(np.asarray(quant[i]),
+                   os.path.join(out_dir, f"{tag}_{i}_quantized_8bit.png"))
+
+
+def _setup_data(
+    setup,
+    dataset_path: Optional[str],
+    val_dataset_path: Optional[str],
+    training_resolution: int,
+    batch_size: int,
+    train_samples: int,
+    seed: int,
+    num_prefetch: int,
+):
+    if dataset_path is not None:
+        train_ds = ImageFolderDataset(dataset_path, resolution=training_resolution)
+    else:
+        train_ds = generate_synthetic_dataset(
+            setup.generator, setup.gen_vars, num_samples=train_samples,
+            batch_size=max(batch_size, 4), resolution=training_resolution,
+            seed=seed,
+        )
+    train_loader = BatchLoader(train_ds, batch_size, shuffle=True, seed=seed,
+                               prefetch=num_prefetch)
+    val_loader = None
+    if val_dataset_path is not None:
+        val_ds = ImageFolderDataset(val_dataset_path,
+                                    resolution=training_resolution)
+        val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
+                                 prefetch=num_prefetch)
+    return train_ds, train_loader, val_loader
+
+
+def _run_training(
+    setup,
+    output_dir: str,
+    num_epochs: int,
+    start_epoch: int,
+    save_every: int,
+    train_loader,
+    val_loader,
+    train_ds,
+    seed: int,
+    mesh,
+    config_meta: Dict,
+    stage2: bool = False,
+    anneal_rate: float = 3e-5,
+    min_temperature: float = 0.5,
+) -> Tuple[TrainState, Dict]:
+    os.makedirs(os.path.join(output_dir, "samples"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "checkpoints"), exist_ok=True)
+    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+    state = setup.state
+    key = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(start_epoch, num_epochs):
+        t0 = time.time()
+        state, train_m = _epoch_pass(setup, train_loader, state, key, mesh,
+                                     train=True)
+        epoch_time = time.time() - t0
+        record = {**train_m, "epoch": epoch, "epoch_time": epoch_time}
+
+        if val_loader is not None:
+            _, val_m = _epoch_pass(setup, val_loader, state, key, mesh,
+                                   train=False)
+            record.update({f"val_{k}": v for k, v in val_m.items()})
+
+        if stage2:
+            state = apply_temperature_anneal(state, anneal_rate,
+                                             min_temperature)
+            record["temperature"] = float(
+                np.exp(state.params["discretization"]["log_temperature"][0])
+            )
+
+        logger.log(record, step=int(state.step))
+        msg = " | ".join(f"{k}: {v:.4f}" for k, v in record.items()
+                         if isinstance(v, float))
+        print(f"Epoch {epoch + 1}/{num_epochs} | {msg}")
+
+        if (epoch + 1) % save_every == 0 or epoch == num_epochs - 1:
+            sample_images = np.stack([
+                train_ds[i][0] if isinstance(train_ds[i], tuple) else train_ds[i]
+                for i in range(min(3, len(train_ds)))
+            ])
+            _dump_samples(setup, state, sample_images, setup.gen_vars,
+                          os.path.join(output_dir, "samples"),
+                          f"epoch_{epoch + 1}", stage2=stage2)
+            ckpt = os.path.join(output_dir, "checkpoints",
+                                f"epoch_{epoch + 1}.ic2t")
+            save_checkpoint(ckpt, state,
+                            meta={"epoch": epoch, "history": logger.history,
+                                  "config": config_meta})
+
+    final = os.path.join(
+        output_dir, "gumbel_hvae_final.ic2t" if stage2 else
+        "hvae_encoder_final.ic2t")
+    save_checkpoint(final, state,
+                    meta={"epoch": num_epochs - 1, "history": logger.history,
+                          "config": config_meta})
+    print(f"Saved final model to {final}")
+    return state, logger.history
+
+
+def train_hvae_encoder(
+    output_dir: str = "./output",
+    training_resolution: int = 256,
+    batch_size: int = 4,
+    max_resolution: int = 1024,
+    num_epochs: int = 100,
+    lr: float = 1e-4,
+    kl_weight: float = 0.01,
+    perceptual_weight: float = 0.8,
+    rec_weight: float = 1.0,
+    bf16: bool = False,
+    resume_from: Optional[str] = None,
+    save_every: int = 10,
+    train_samples: int = 50,
+    dataset_path: Optional[str] = None,
+    val_dataset_path: Optional[str] = None,
+    generator_cfg: Optional[GeneratorConfig] = None,
+    encoder_cfg: Optional[EncoderConfig] = None,
+    gen_vars=None,
+    use_lpips: bool = True,
+    mesh=None,
+    seed: int = 42,
+    num_prefetch: int = 2,
+) -> Tuple[TrainState, Dict]:
+    """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062)."""
+    generator_cfg = generator_cfg or GeneratorConfig()
+    encoder_cfg = encoder_cfg or EncoderConfig(
+        img_resolution=max_resolution,
+        img_channels=generator_cfg.img_channels,
+        w_dim=generator_cfg.w_dim,
+        num_ws=generator_cfg.num_ws,
+    )
+    precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
+                          kl=kl_weight)
+    setup = build_stage1(
+        encoder_cfg, generator_cfg, gen_vars=gen_vars, lr=lr, weights=weights,
+        use_lpips=use_lpips, precision=precision, mesh=mesh, seed=seed,
+        lpips_image_size=training_resolution,
+    )
+
+    start_epoch = 0
+    if resume_from is not None and os.path.exists(resume_from):
+        restored, meta = load_checkpoint(resume_from, target=setup.state)
+        setup.state = restored
+        start_epoch = meta.get("epoch", -1) + 1
+        print(f"Resuming from epoch {start_epoch}")
+
+    train_ds, train_loader, val_loader = _setup_data(
+        setup, dataset_path, val_dataset_path, training_resolution,
+        batch_size, train_samples, seed, num_prefetch,
+    )
+    config_meta = {
+        "stage": 1,
+        "max_resolution": max_resolution,
+        "training_resolution": training_resolution,
+        "img_channels": generator_cfg.img_channels,
+        "w_dim": generator_cfg.w_dim,
+        "num_ws": generator_cfg.num_ws,
+        "block_split": list(encoder_cfg.block_split),
+        "loss_weights": {"rec": rec_weight, "perceptual": perceptual_weight,
+                         "kl": kl_weight},
+    }
+    return _run_training(setup, output_dir, num_epochs, start_epoch,
+                         save_every, train_loader, val_loader, train_ds, seed,
+                         mesh, config_meta)
+
+
+def train_gumbel_hvae(
+    output_dir: str = "./output_gumbel",
+    training_resolution: int = 256,
+    batch_size: int = 4,
+    max_resolution: int = 1024,
+    num_epochs: int = 100,
+    lr: float = 1e-4,
+    temperature: float = 1.0,
+    temp_anneal_rate: float = 3e-5,
+    min_temperature: float = 0.5,
+    n_embeddings: int = 256,
+    kl_weight: float = 0.01,
+    perceptual_weight: float = 0.8,
+    gumbel_weight: float = 1.0,
+    rec_weight: float = 1.0,
+    bf16: bool = False,
+    resume_from: Optional[str] = None,
+    save_every: int = 10,
+    train_samples: int = 50,
+    dataset_path: Optional[str] = None,
+    val_dataset_path: Optional[str] = None,
+    generator_cfg: Optional[GeneratorConfig] = None,
+    encoder_cfg: Optional[EncoderConfig] = None,
+    gen_vars=None,
+    use_lpips: bool = True,
+    mesh=None,
+    seed: int = 42,
+    num_prefetch: int = 2,
+) -> Tuple[TrainState, Dict]:
+    """Stage-2 trainer (flag surface mirrors
+    gumbel_softmax_compression.py:700-737)."""
+    generator_cfg = generator_cfg or GeneratorConfig()
+    encoder_cfg = encoder_cfg or EncoderConfig(
+        img_resolution=max_resolution,
+        img_channels=generator_cfg.img_channels,
+        w_dim=generator_cfg.w_dim,
+        num_ws=generator_cfg.num_ws,
+    )
+    precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
+                          kl=kl_weight, gumbel=gumbel_weight)
+
+    encoder_params = None
+    start_epoch = 0
+    resume_state = None
+    if resume_from is not None and os.path.exists(resume_from):
+        raw, meta = load_checkpoint(resume_from)
+        params = raw["params"]
+        if "discretization" in params:  # stage-2 checkpoint: full resume
+            resume_state = raw
+            start_epoch = meta.get("epoch", -1) + 1
+            print(f"Resuming stage-2 from epoch {start_epoch}")
+        else:  # stage-1 checkpoint: encoder-only warm start
+            encoder_params = params
+            print("Warm-starting stage 2 from a stage-1 encoder checkpoint")
+
+    setup = build_stage2(
+        encoder_cfg, generator_cfg, gen_vars=gen_vars,
+        encoder_params=encoder_params, n_embeddings=n_embeddings,
+        temperature=temperature, lr=lr, weights=weights, use_lpips=use_lpips,
+        precision=precision, mesh=mesh, seed=seed,
+    )
+    if resume_state is not None:
+        setup.state, _ = load_checkpoint(resume_from, target=setup.state)
+
+    train_ds, train_loader, val_loader = _setup_data(
+        setup, dataset_path, val_dataset_path, training_resolution,
+        batch_size, train_samples, seed, num_prefetch,
+    )
+    config_meta = {
+        "stage": 2,
+        "max_resolution": max_resolution,
+        "training_resolution": training_resolution,
+        "w_dim": generator_cfg.w_dim,
+        "num_ws": generator_cfg.num_ws,
+        "block_split": list(encoder_cfg.block_split),
+        "n_embeddings": n_embeddings,
+        "temperature": temperature,
+    }
+    return _run_training(setup, output_dir, num_epochs, start_epoch,
+                         save_every, train_loader, val_loader, train_ds, seed,
+                         mesh, config_meta, stage2=True,
+                         anneal_rate=temp_anneal_rate,
+                         min_temperature=min_temperature)

@@ -47,6 +47,27 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_train_step_bf16_generator_path():
+    """Training THROUGH bf16 synthesis layers must produce finite fp32 grads
+    (regression: preferred_element_type=fp32 on a bf16 conv broke the
+    transpose conv with mixed dtypes)."""
+    import jax.numpy as jnp
+    from image_compression_2_tpu.core import Precision
+
+    enc_cfg, gen_cfg = _configs()
+    setup = build_stage1(enc_cfg, gen_cfg, use_lpips=False,
+                         precision=Precision(compute_dtype=jnp.bfloat16))
+    x = jax.random.uniform(jax.random.PRNGKey(0), [2, RES, RES, 3],
+                           minval=-1, maxval=1)
+    state, metrics = setup.train_step(
+        setup.state, setup.gen_vars, None, setup.w_avg, x,
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_train_step_with_lpips_runs():
     enc_cfg, gen_cfg = _configs()
     setup = build_stage1(enc_cfg, gen_cfg, use_lpips=True)

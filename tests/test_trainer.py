@@ -1,0 +1,95 @@
+"""End-to-end trainer smoke tests (tiny configs): artifacts, resume, stage-2."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from image_compression_2_tpu.core import EncoderConfig, GeneratorConfig
+from image_compression_2_tpu.train import (
+    load_checkpoint,
+    train_gumbel_hvae,
+    train_hvae_encoder,
+)
+
+RES = 16
+
+
+def _cfgs():
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(
+        img_resolution=RES, w_dim=gen_cfg.w_dim, num_ws=gen_cfg.num_ws,
+        block_split=(2, 4),
+    )
+    return gen_cfg, enc_cfg
+
+
+def test_stage1_trainer_end_to_end(tmp_path):
+    gen_cfg, enc_cfg = _cfgs()
+    out = str(tmp_path / "run1")
+    state, history = train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=2,
+        save_every=1, train_samples=8, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+    )
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    # artifacts
+    assert os.path.exists(os.path.join(out, "hvae_encoder_final.ic2t"))
+    assert os.path.exists(os.path.join(out, "checkpoints", "epoch_2.ic2t"))
+    samples = os.listdir(os.path.join(out, "samples"))
+    assert any("original" in s for s in samples)
+    assert any("reconstructed" in s for s in samples)
+    assert any("quantized_8bit" in s for s in samples)
+    # metrics stream
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert lines[0]["epoch"] == 0 and "rec_loss" in lines[0]
+
+    # resume from epoch checkpoint continues numbering
+    out2 = str(tmp_path / "run1b")
+    state2, history2 = train_hvae_encoder(
+        output_dir=out2, training_resolution=RES, batch_size=4, num_epochs=3,
+        save_every=1, train_samples=8, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+        resume_from=os.path.join(out, "checkpoints", "epoch_2.ic2t"),
+    )
+    assert len(history2["loss"]) == 1  # epochs 2..2 only
+    assert int(state2.step) > int(state.step) - 1
+
+
+def test_stage2_trainer_warm_start_from_stage1(tmp_path):
+    gen_cfg, enc_cfg = _cfgs()
+    out1 = str(tmp_path / "s1")
+    train_hvae_encoder(
+        output_dir=out1, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+    )
+    out2 = str(tmp_path / "s2")
+    state, history = train_gumbel_hvae(
+        output_dir=out2, training_resolution=RES, batch_size=4, num_epochs=2,
+        save_every=2, train_samples=4, n_embeddings=32,
+        generator_cfg=gen_cfg, encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+        resume_from=os.path.join(out1, "hvae_encoder_final.ic2t"),
+        temp_anneal_rate=0.01,
+    )
+    assert "perplexity" in history and len(history["loss"]) == 2
+    assert "temperature" in history
+    # temperature annealed down
+    assert history["temperature"][-1] < 1.0
+    final = os.path.join(out2, "gumbel_hvae_final.ic2t")
+    assert os.path.exists(final)
+    raw, meta = load_checkpoint(final)
+    assert meta["config"]["stage"] == 2
+    assert "discretization" in raw["params"]
+
+    # stage-2 full resume from its own checkpoint
+    state3, history3 = train_gumbel_hvae(
+        output_dir=str(tmp_path / "s2b"), training_resolution=RES,
+        batch_size=4, num_epochs=3, save_every=3, train_samples=4,
+        n_embeddings=32, generator_cfg=gen_cfg, encoder_cfg=enc_cfg,
+        use_lpips=False, seed=0, resume_from=final, temp_anneal_rate=0.01,
+    )
+    assert len(history3["loss"]) == 1
