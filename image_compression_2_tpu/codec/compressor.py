@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from ..core.config import EncoderConfig, GeneratorConfig, Precision
 from ..models.encoder import HVAEEncoder
 from ..models.generator import Generator
-from ..quant.uniform import quantize_uniform
+from ..quant.uniform import (
+    per_layer_comp_size_bytes,
+    quantize_uniform,
+    quantize_uniform_per_layer,
+)
 
 
 def _resize_bilinear(img: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
@@ -142,18 +146,25 @@ class Compressor:
         )
         return means if deterministic else w_plus
 
-    def compress(self, x, quantization_bits: int = 8,
+    def compress(self, x, quantization_bits=8,
                  deterministic: bool = True,
                  sample_key: Optional[jax.Array] = None) -> jnp.ndarray:
-        """Image -> quantized W+ on the 2**bits grid (dequantized floats)."""
+        """Image -> quantized W+ on the 2**bits grid (dequantized floats).
+
+        ``quantization_bits`` may be a per-W-layer sequence (length num_ws)
+        for the guide's variable bit-allocation scheme."""
+        if not isinstance(quantization_bits, (int, np.integer)):
+            w = self.encode(x, deterministic=deterministic,
+                            sample_key=sample_key)
+            return quantize_uniform_per_layer(w, tuple(quantization_bits))
         if deterministic:
             return self._compress_fn[True](
-                self.encoder_vars, x, bits=quantization_bits
+                self.encoder_vars, x, bits=int(quantization_bits)
             )
         if sample_key is None:
             sample_key = jax.random.PRNGKey(0)
         return self._compress_fn[False](
-            self.encoder_vars, x, sample_key, bits=quantization_bits
+            self.encoder_vars, x, sample_key, bits=int(quantization_bits)
         )
 
     def decompress(self, w_plus) -> jnp.ndarray:
@@ -161,22 +172,31 @@ class Compressor:
         return self._synthesis_fn(self.generator_vars, jnp.asarray(w_plus))
 
     def save_compressed(
-        self, x, filename: str, quantization_bits: int = 8,
+        self, x, filename: str, quantization_bits=8,
         deterministic: bool = True,
     ) -> Tuple[int, float, float]:
         """Compress and write the `.npz` container; returns
-        (orig_size, comp_size, ratio) with the reference's formulas."""
+        (orig_size, comp_size, ratio) with the reference's formulas.
+        Scalar ``quantization_bits`` keeps exact container parity; a per-layer
+        sequence stores the allocation in the ``bits`` key."""
         w_q = np.asarray(
             self.compress(x, quantization_bits, deterministic), np.float32
         )
         orig_size = int(np.prod(x.shape)) * 4           # fp32 pixel bytes
-        comp_size = w_q.size * (quantization_bits / 8)  # packed latent bytes
+        if isinstance(quantization_bits, (int, np.integer)):
+            comp_size = w_q.size * (quantization_bits / 8)
+            bits_entry = int(quantization_bits)
+        else:
+            comp_size = per_layer_comp_size_bytes(
+                quantization_bits, w_q.shape[-1], batch=w_q.shape[0]
+            )
+            bits_entry = np.asarray(quantization_bits, np.int32)
         ratio = orig_size / comp_size
         np.savez_compressed(
             filename,
             w=w_q,
             resolution=np.asarray(x.shape[1:3]),  # (H, W)
-            bits=quantization_bits,
+            bits=bits_entry,
             orig_size=orig_size,
             comp_size=comp_size,
             compression_ratio=ratio,

@@ -31,3 +31,22 @@ def quantize_to_indices(w: jnp.ndarray, bits: int) -> jnp.ndarray:
 def dequantize_from_indices(idx: jnp.ndarray, bits: int) -> jnp.ndarray:
     scale = (1 << bits) - 1
     return (idx.astype(jnp.float32) / scale) * 2.0 - 1.0
+
+
+def quantize_uniform_per_layer(w: jnp.ndarray, bits_per_layer) -> jnp.ndarray:
+    """Per-W-layer bit allocation (reference guide's recommendation:
+    10-12 bits for the coarse layers, 4-6 for the fine ones —
+    stylegan3_hvae_guide.md:335-340).
+
+    ``w``: [B, num_ws, w_dim]; ``bits_per_layer``: length-num_ws ints.
+    """
+    assert len(bits_per_layer) == w.shape[1], (len(bits_per_layer), w.shape)
+    scales = jnp.asarray(
+        [(1 << int(b)) - 1 for b in bits_per_layer], jnp.float32
+    )[None, :, None]
+    w01 = (w + 1.0) * 0.5
+    return (jnp.round(w01 * scales) / scales) * 2.0 - 1.0
+
+
+def per_layer_comp_size_bytes(bits_per_layer, w_dim: int, batch: int = 1) -> float:
+    return batch * w_dim * sum(int(b) for b in bits_per_layer) / 8.0

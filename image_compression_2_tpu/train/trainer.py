@@ -184,6 +184,17 @@ def _run_training(
     save_checkpoint(final, state,
                     meta={"epoch": num_epochs - 1, "history": logger.history,
                           "config": config_meta})
+    try:
+        from ..utils.plotting import plot_history_svg
+
+        loss_keys = [k for k in logger.history
+                     if k.endswith("loss") and logger.history[k]]
+        if loss_keys:
+            plot_history_svg(logger.history,
+                             os.path.join(output_dir, "loss_curves.svg"),
+                             keys=loss_keys)
+    except ValueError:
+        pass
     print(f"Saved final model to {final}")
     return state, logger.history
 
