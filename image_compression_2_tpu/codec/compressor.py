@@ -58,7 +58,12 @@ class Compressor:
     ):
         self.encoder_cfg = encoder_cfg
         self.generator_cfg = generator_cfg
-        self.encoder = HVAEEncoder(encoder_cfg)
+        # inference codecs run the encoder pyramid in the compute dtype too
+        # (the variational heads stay fp32 inside the module)
+        self.encoder = HVAEEncoder(
+            encoder_cfg,
+            compute_dtype=precision.compute_dtype if precision.mixed else None,
+        )
         self.generator = Generator(generator_cfg, precision)
         self.encoder_vars = encoder_vars
         self.generator_vars = generator_vars

@@ -42,7 +42,10 @@ class GumbelCompressor:
         self.encoder_cfg = encoder_cfg
         self.generator_cfg = generator_cfg
         self.n_embeddings = n_embeddings
-        self.encoder = HVAEEncoder(encoder_cfg)
+        self.encoder = HVAEEncoder(
+            encoder_cfg,
+            compute_dtype=precision.compute_dtype if precision.mixed else None,
+        )
         self.generator = Generator(generator_cfg, precision)
         self.discretization = GumbelSoftmaxDiscretization(n_embeddings)
         if disc_vars is None:

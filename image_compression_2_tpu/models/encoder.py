@@ -38,20 +38,28 @@ def _lrelu(x):
 
 
 class VGGBlock(nn.Module):
-    """conv3x3 -> GN -> lrelu, twice, then 2x2 average pool (if size >= 2)."""
+    """conv3x3 -> GN -> lrelu, twice, then 2x2 average pool (if size >= 2).
+
+    ``dtype``: activation compute dtype (params stay fp32). bf16 halves the
+    HBM traffic of the full-resolution blocks, which dominate encoder time."""
 
     out_channels: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1")(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1",
+                    dtype=self.dtype)(x)
         x = nn.GroupNorm(
-            num_groups=min(32, self.out_channels), epsilon=1e-5, name="norm1"
+            num_groups=min(32, self.out_channels), epsilon=1e-5, name="norm1",
+            dtype=self.dtype,
         )(x)
         x = _lrelu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2")(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2",
+                    dtype=self.dtype)(x)
         x = nn.GroupNorm(
-            num_groups=min(32, self.out_channels), epsilon=1e-5, name="norm2"
+            num_groups=min(32, self.out_channels), epsilon=1e-5, name="norm2",
+            dtype=self.dtype,
         )(x)
         x = _lrelu(x)
         if x.shape[1] > 1 and x.shape[2] > 1:  # static at trace time
@@ -72,6 +80,7 @@ class HierarchyProjector(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         batch = x.shape[0]
         x = jnp.mean(x, axis=(1, 2))  # adaptive average pool to 1x1
+        x = x.astype(jnp.float32)     # variational heads always fp32
         x = _lrelu(nn.Dense(self.hidden_dim, name="fc1")(x))
         p = nn.Dense(self.num_ws * self.w_dim * 2, name="fc2")(x)
         p = p.reshape(batch, self.num_ws, self.w_dim * 2)
@@ -86,9 +95,13 @@ class HierarchyProjector(nn.Module):
 
 class HVAEEncoder(nn.Module):
     """image [B,H,W,C] in [-1,1] -> (w_plus, means, logvars), each
-    [B, num_ws, w_dim]."""
+    [B, num_ws, w_dim] fp32.
+
+    ``compute_dtype``: optional bf16 for the conv pyramid (projector heads and
+    the variational outputs stay fp32)."""
 
     cfg: EncoderConfig
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -98,7 +111,10 @@ class HVAEEncoder(nn.Module):
         assert x.shape[-1] == cfg.img_channels, x.shape
         channels = cfg.channels
 
-        x = nn.Conv(channels[0], (3, 3), padding="SAME", name="from_rgb")(x)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        x = nn.Conv(channels[0], (3, 3), padding="SAME", name="from_rgb",
+                    dtype=self.compute_dtype)(x)
 
         taps = {}
         n = cfg.num_blocks
@@ -106,7 +122,7 @@ class HVAEEncoder(nn.Module):
             if x.shape[1] <= 1 or x.shape[2] <= 1:  # static guard
                 break
             out_ch = channels[i + 1] if i < n - 1 else channels[i]
-            x = VGGBlock(out_ch, name=f"block{i}")(x)
+            x = VGGBlock(out_ch, dtype=self.compute_dtype, name=f"block{i}")(x)
             if i == cfg.fine_block:
                 taps["fine"] = x
             elif i == cfg.medium_block:

@@ -208,9 +208,17 @@ class SynthesisLayer(nn.Module):
         ).value
         input_gain = jax.lax.rsqrt(magnitude_ema)
 
+        # Layers whose output sampling rate is within 2**num_lowprec_res of
+        # the final resolution run in the low-precision compute dtype (the
+        # TPU analogue of the reference decoder's fp16 high-res layers);
+        # num_lowprec_res >= 16 puts the whole network in bf16.
+        lowprec = (
+            spec.out_sampling_rate * (2 ** self.precision.num_lowprec_res)
+            > self.cfg.img_resolution
+        )
         dtype = (
             self.precision.compute_dtype
-            if (spec.use_lowprec and self.precision.mixed)
+            if (lowprec and self.precision.mixed)
             else jnp.float32
         )
         x = modulated_conv2d(
