@@ -35,10 +35,23 @@ class Precision:
     # Layers whose sampling rate exceeds img_resolution / 2**num_lowprec_res
     # run in `compute_dtype` (bf16 when enabled); the rest stay fp32.
     num_lowprec_res: int = 4
+    # MXU pass count for the fp32 layers: 'highest' = 6-pass (exact fp32),
+    # 'high' = 3-pass (~fp32 for these magnitudes, ~2x faster).
+    fp32_precision: str = "highest"
 
     @property
     def mixed(self) -> bool:
         return self.compute_dtype != jnp.float32
+
+    @property
+    def fp32_mxu(self):
+        import jax
+
+        return (
+            jax.lax.Precision.HIGH
+            if self.fp32_precision == "high"
+            else jax.lax.Precision.HIGHEST
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -228,6 +228,7 @@ class SynthesisLayer(nn.Module):
             demodulate=not spec.is_torgb,
             padding=spec.conv_kernel - 1,
             input_gain=input_gain,
+            fp32_mxu=self.precision.fp32_mxu,
         )
 
         up_filter = design_lowpass_filter(
@@ -256,6 +257,7 @@ class SynthesisLayer(nn.Module):
             gain=gain,
             slope=slope,
             clamp=self.cfg.conv_clamp,
+            fp32_mxu=self.precision.fp32_mxu,
         )
         assert x.shape[1] == spec.out_size and x.shape[3] == spec.out_channels, (
             x.shape,

@@ -35,6 +35,7 @@ def filtered_lrelu(
     slope: float = 0.2,
     clamp: Optional[float] = 256.0,
     mode: str = "auto",
+    fp32_mxu=None,
 ) -> jnp.ndarray:
     """Bias → upsample(fu) → leaky-ReLU(slope)·gain → clamp → downsample(fd).
 
@@ -54,7 +55,12 @@ def filtered_lrelu(
     use_mm = mode == "matmul" or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )
-    up_op = upfirdn2d_mm if use_mm else upfirdn2d
+    if use_mm:
+        import functools
+
+        up_op = functools.partial(upfirdn2d_mm, fp32_mxu=fp32_mxu)
+    else:
+        up_op = upfirdn2d
     x = bias_act(x, b)
     x = up_op(x, fu, up=up, padding=(px0, px1, py0, py1), gain=up ** 2)
     x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)

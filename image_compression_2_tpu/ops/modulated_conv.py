@@ -36,6 +36,7 @@ def modulated_conv2d(
     demodulate: bool = True,
     padding: int = 0,
     input_gain: Optional[jnp.ndarray] = None,
+    fp32_mxu=None,
 ) -> jnp.ndarray:
     """Per-sample style-modulated conv over NHWC inputs. Returns [B,H',W',C_out]."""
     assert x.ndim == 4 and w.ndim == 4 and styles.ndim == 2
@@ -57,7 +58,10 @@ def modulated_conv2d(
     # fp32: force true-fp32 MXU passes. bf16: let the MXU accumulate in fp32
     # internally but keep the output dtype bf16 — requesting an fp32 output
     # from a bf16 conv makes the transpose (grad) conv see mixed dtypes.
-    precision = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else None
+    if in_dtype == jnp.float32:
+        precision = fp32_mxu if fp32_mxu is not None else jax.lax.Precision.HIGHEST
+    else:
+        precision = None
     y = jax.lax.conv_general_dilated(
         xs,
         w.astype(in_dtype),

@@ -51,16 +51,20 @@ def fir_matrix(
     return A.astype(np.float32)
 
 
-def _apply_h(x: jnp.ndarray, A: np.ndarray) -> jnp.ndarray:
-    Aj = jnp.asarray(A, x.dtype)
-    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    return jnp.einsum("hH,bHwc->bhwc", Aj, x, precision=precision)
+def _prec(x, fp32_mxu):
+    if x.dtype != jnp.float32:
+        return None
+    return fp32_mxu if fp32_mxu is not None else jax.lax.Precision.HIGHEST
 
 
-def _apply_w(x: jnp.ndarray, A: np.ndarray) -> jnp.ndarray:
+def _apply_h(x: jnp.ndarray, A: np.ndarray, fp32_mxu=None) -> jnp.ndarray:
     Aj = jnp.asarray(A, x.dtype)
-    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    return jnp.einsum("wW,bhWc->bhwc", Aj, x, precision=precision)
+    return jnp.einsum("hH,bHwc->bhwc", Aj, x, precision=_prec(x, fp32_mxu))
+
+
+def _apply_w(x: jnp.ndarray, A: np.ndarray, fp32_mxu=None) -> jnp.ndarray:
+    Aj = jnp.asarray(A, x.dtype)
+    return jnp.einsum("wW,bhWc->bhwc", Aj, x, precision=_prec(x, fp32_mxu))
 
 
 def upfirdn2d_mm(
@@ -70,6 +74,7 @@ def upfirdn2d_mm(
     down: int = 1,
     padding: Padding = 0,
     gain: float = 1.0,
+    fp32_mxu=None,
 ) -> jnp.ndarray:
     """Matmul-path upfirdn2d; same contract as ``upfirdn2d`` (separable or
     identity filters)."""
@@ -83,4 +88,4 @@ def upfirdn2d_mm(
     # 2D gain: apply the full gain in the first (H) pass like the conv path.
     A_h = fir_matrix(f, H, up, down, py0, py1, gain)
     A_w = fir_matrix(f, W, up, down, px0, px1, 1.0)
-    return _apply_w(_apply_h(x, A_h), A_w)
+    return _apply_w(_apply_h(x, A_h, fp32_mxu), A_w, fp32_mxu)
