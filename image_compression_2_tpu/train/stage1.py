@@ -120,6 +120,31 @@ def make_train_step(
     )
 
 
+def make_eval_step(
+    encoder: HVAEEncoder,
+    generator: Generator,
+    lpips_apply: Optional[Callable] = None,
+    weights: LossWeights = LossWeights(),
+    mesh: Optional[Mesh] = None,
+):
+    """Loss-only metrics pass for validation (no gradient computation)."""
+    loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights)
+
+    def eval_fn(state: TrainState, gen_vars, lpips_vars, w_avg, x, key):
+        key = jax.random.fold_in(key, state.step)
+        _, metrics = loss_fn(state.params, gen_vars, lpips_vars, w_avg, x, key)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        eval_fn,
+        in_shardings=(repl, repl, repl, repl, NamedSharding(mesh, P("data")), repl),
+        out_shardings=repl,
+    )
+
+
 @dataclasses.dataclass
 class Stage1Setup:
     """Everything needed to run stage-1 steps (built once per config)."""
@@ -132,6 +157,7 @@ class Stage1Setup:
     lpips_vars: Any
     w_avg: jnp.ndarray
     train_step: Callable
+    eval_step: Optional[Callable] = None
 
 
 def build_stage1(
@@ -174,6 +200,7 @@ def build_stage1(
     train_step = make_train_step(
         encoder, generator, optimizer, lpips_apply, weights, mesh
     )
+    eval_step = make_eval_step(encoder, generator, lpips_apply, weights, mesh)
     return Stage1Setup(
         encoder=encoder,
         generator=generator,
@@ -183,4 +210,5 @@ def build_stage1(
         lpips_vars=lpips_vars,
         w_avg=w_avg,
         train_step=train_step,
+        eval_step=eval_step,
     )

@@ -171,6 +171,28 @@ def build_stage2(
         encoder, generator, discretization, optimizer, lpips_apply, weights,
         n_embeddings, mesh,
     )
+
+    loss_fn = make_stage2_loss_fn(
+        encoder, generator, discretization, lpips_apply, weights, n_embeddings
+    )
+
+    def eval_fn(state, gen_vars_, lpips_vars_, w_avg_, x, key):
+        key = jax.random.fold_in(key, state.step)
+        _, metrics = loss_fn(state.params, gen_vars_, lpips_vars_, w_avg_, x,
+                             key)
+        return metrics
+
+    if mesh is None:
+        eval_step = jax.jit(eval_fn)
+    else:
+        repl = NamedSharding(mesh, P())
+        eval_step = jax.jit(
+            eval_fn,
+            in_shardings=(repl, repl, repl, repl,
+                          NamedSharding(mesh, P("data")), repl),
+            out_shardings=repl,
+        )
+
     return Stage1Setup(
         encoder=encoder,
         generator=generator,
@@ -180,4 +202,5 @@ def build_stage2(
         lpips_vars=lpips_vars,
         w_avg=w_avg,
         train_step=train_step,
+        eval_step=eval_step,
     )

@@ -58,8 +58,12 @@ def _epoch_pass(setup, loader, state, key, mesh, train: bool):
             state, metrics = setup.train_step(
                 state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
             )
-        else:
-            _, metrics = setup.train_step(  # eval: discard the updated state
+        elif setup.eval_step is not None:
+            metrics = setup.eval_step(
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+            )
+        else:  # fallback: run the train step and discard the update
+            _, metrics = setup.train_step(
                 state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
             )
         for k, v in metrics.items():
