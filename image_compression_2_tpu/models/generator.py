@@ -311,8 +311,10 @@ class Generator(nn.Module):
         z: jnp.ndarray,
         truncation_psi: float = 1.0,
         truncation_cutoff: Optional[int] = None,
+        update_w_avg: bool = False,
     ) -> jnp.ndarray:
-        return self.mapping_net(z, truncation_psi, truncation_cutoff)
+        return self.mapping_net(z, truncation_psi, truncation_cutoff,
+                                update_w_avg)
 
     def synthesis(self, ws: jnp.ndarray) -> jnp.ndarray:
         return self.synthesis_net(ws)

@@ -128,3 +128,17 @@ def test_bf16_precision_path(tiny_gen):
     # bf16 path should agree to coarse tolerance
     denom = np.abs(img32).mean() + 1e-6
     assert np.abs(img16 - img32).mean() / denom < 0.1
+
+
+def test_w_avg_ema_update(tiny_gen):
+    """G-training support: mapping's update_w_avg moves the buffer toward the
+    batch mean W with rate (1 - w_avg_beta)."""
+    cfg, model, variables = tiny_gen
+    z = jax.random.normal(jax.random.PRNGKey(9), [4, cfg.z_dim])
+    ws, mutated = model.apply(
+        variables, z, 1.0, None, True, method="mapping", mutable=["buffers"]
+    )
+    new_avg = np.asarray(mutated["buffers"]["mapping"]["w_avg"])
+    batch_mean = np.asarray(ws[:, 0, :]).mean(axis=0)
+    want = (1 - cfg.w_avg_beta) * batch_mean  # old buffer was zeros
+    np.testing.assert_allclose(new_avg, want, rtol=1e-5, atol=1e-6)
