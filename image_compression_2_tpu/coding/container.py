@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 from typing import Dict, Tuple
 
 _MAGIC = b"IC2C"
@@ -25,6 +26,8 @@ _VERSION = 2
 
 
 def write_cabac_file(filename: str, payload: bytes, metadata: Dict) -> None:
+    metadata = dict(metadata)
+    metadata["payload_crc32"] = zlib.crc32(payload)
     meta_json = json.dumps(metadata).encode("utf-8")
     with open(filename, "wb") as f:
         f.write(_MAGIC)
@@ -43,4 +46,9 @@ def read_cabac_file(filename: str) -> Tuple[bytes, Dict]:
             raise ValueError(f"{filename}: unsupported version {version}")
         metadata = json.loads(f.read(meta_len).decode("utf-8"))
         payload = f.read()
+    crc = metadata.pop("payload_crc32", None)
+    if crc is not None and zlib.crc32(payload) != crc:
+        # an arithmetic-coded stream decodes truncated/corrupt bytes into
+        # plausible-looking garbage; fail loudly instead
+        raise ValueError(f"{filename}: payload corrupt (crc mismatch)")
     return payload, metadata

@@ -189,3 +189,43 @@ def test_cabac_codec_end_to_end(tmp_path):
     # both ratio definitions reported
     assert "ratio_vs_pixels" in meta and meta["ratio_vs_pixels"] > meta[
         "compression_ratio"]
+
+
+def test_container_detects_payload_corruption(tmp_path):
+    f = str(tmp_path / "c.cabac")
+    write_cabac_file(f, b"\x10\x20\x30\x40" * 8, {"shape": [1, 1, 4]})
+    # flip one payload byte (past the header+json)
+    data = bytearray(open(f, "rb").read())
+    data[-2] ^= 0xFF
+    with open(f, "wb") as fh:
+        fh.write(data)
+    with pytest.raises(ValueError, match="corrupt"):
+        read_cabac_file(f)
+
+
+def test_fuzz_roundtrip_native_and_python():
+    """Seeded fuzz: random shapes, codebook sizes, and distributions must all
+    roundtrip exactly through BOTH implementations with identical streams."""
+    rng = np.random.RandomState(42)
+    for trial in range(30):
+        n_sym = int(rng.choice([2, 3, 16, 64, 256, 257, 1000]))
+        B = int(rng.randint(1, 3))
+        T = int(rng.randint(1, 6))
+        D = int(rng.randint(1, 40))
+        kind = rng.randint(3)
+        if kind == 0:
+            data = rng.randint(0, n_sym, (B, T, D))
+        elif kind == 1:
+            data = np.clip(rng.poisson(max(n_sym // 8, 1), (B, T, D)),
+                           0, n_sym - 1)
+        else:
+            data = np.full((B, T, D), rng.randint(0, n_sym))
+        data = data.astype(np.int32)
+        py = cabac_encode(data, n_sym)
+        np.testing.assert_array_equal(cabac_decode(py, data.shape, n_sym),
+                                      data, err_msg=f"trial {trial}")
+        if native_available():
+            cc = encode_native(data, n_sym)
+            assert cc == py, f"trial {trial}: stream mismatch"
+            np.testing.assert_array_equal(
+                decode_native(cc, data.shape, n_sym), data)
