@@ -55,17 +55,33 @@ def make_loss_fn(
     generator: Generator,
     lpips_apply: Optional[Callable] = None,
     weights: LossWeights = LossWeights(),
+    remat: bool = False,
 ):
-    """Build loss(params, gen_vars, lpips_vars, w_avg, x, key) -> (loss, metrics)."""
+    """Build loss(params, gen_vars, lpips_vars, w_avg, x, key) -> (loss, metrics).
+
+    ``remat``: rematerialize the frozen synthesis + LPIPS towers on the
+    backward pass (jax.checkpoint), trading frozen-network recompute FLOPs
+    for their activation memory.  Measured caveat (v5e, 256², b16): encoder
+    activations dominate this workload, so whole-tower checkpointing did not
+    reduce peak HBM — prefer smaller batches; finer-grained checkpoint
+    policies are a future knob.
+    """
+
+    def synth(gen_vars, w_plus):
+        return generator.apply(gen_vars, w_plus, method="synthesis")
+
+    if remat:
+        synth = jax.checkpoint(synth)
 
     def loss_fn(enc_params, gen_vars, lpips_vars, w_avg, x, key):
         w_plus, means, logvars = encoder.apply({"params": enc_params}, x, key)
-        img = generator.apply(gen_vars, w_plus, method="synthesis")
+        img = synth(gen_vars, w_plus)
         if img.shape[1] != x.shape[1]:
             img = jax.image.resize(img, x.shape, method="bilinear")
         rec = mse_loss(x, img)
         if lpips_apply is not None:
-            percep = jnp.mean(lpips_apply(lpips_vars, x, img))
+            lp = jax.checkpoint(lpips_apply) if remat else lpips_apply
+            percep = jnp.mean(lp(lpips_vars, x, img))
         else:
             percep = jnp.zeros([])
         kl = kl_to_w_avg(means, logvars, w_avg[None, None, :])
@@ -88,13 +104,14 @@ def make_train_step(
     lpips_apply: Optional[Callable] = None,
     weights: LossWeights = LossWeights(),
     mesh: Optional[Mesh] = None,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
     With a mesh: the batch and the per-sample rng fold-in shard over 'data';
     everything else is replicated.  Without a mesh: plain single-device jit.
     """
-    loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights)
+    loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights, remat)
 
     def step_fn(state: TrainState, gen_vars, lpips_vars, w_avg, x, key):
         key = jax.random.fold_in(key, state.step)
@@ -171,6 +188,7 @@ def build_stage1(
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     lpips_image_size: Optional[int] = None,
+    remat: bool = False,
 ) -> Stage1Setup:
     """Construct encoder/generator/LPIPS, optimizer and the jitted DP step."""
     from .lpips import create_lpips
@@ -198,7 +216,7 @@ def build_stage1(
     state = init_train_state(enc_vars["params"], optimizer)
     w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
     train_step = make_train_step(
-        encoder, generator, optimizer, lpips_apply, weights, mesh
+        encoder, generator, optimizer, lpips_apply, weights, mesh, remat
     )
     eval_step = make_eval_step(encoder, generator, lpips_apply, weights, mesh)
     return Stage1Setup(

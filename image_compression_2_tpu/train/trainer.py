@@ -226,6 +226,7 @@ def train_hvae_encoder(
     mesh=None,
     seed: int = 42,
     num_prefetch: int = 2,
+    remat: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062)."""
     generator_cfg = generator_cfg or GeneratorConfig()
@@ -241,7 +242,7 @@ def train_hvae_encoder(
     setup = build_stage1(
         encoder_cfg, generator_cfg, gen_vars=gen_vars, lr=lr, weights=weights,
         use_lpips=use_lpips, precision=precision, mesh=mesh, seed=seed,
-        lpips_image_size=training_resolution,
+        lpips_image_size=training_resolution, remat=remat,
     )
 
     start_epoch = 0

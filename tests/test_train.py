@@ -136,3 +136,25 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_remat_training_matches_plain():
+    """jax.checkpoint on the frozen towers must not change the math."""
+    enc_cfg, gen_cfg = _configs()
+    x = jax.random.uniform(jax.random.PRNGKey(0), [2, RES, RES, 3],
+                           minval=-1, maxval=1)
+    key = jax.random.PRNGKey(1)
+    s_plain = build_stage1(enc_cfg, gen_cfg, use_lpips=True, seed=3)
+    s_remat = build_stage1(enc_cfg, gen_cfg, use_lpips=True, seed=3,
+                           remat=True)
+    st_p, m_p = s_plain.train_step(s_plain.state, s_plain.gen_vars,
+                                   s_plain.lpips_vars, s_plain.w_avg, x, key)
+    st_r, m_r = s_remat.train_step(s_remat.state, s_remat.gen_vars,
+                                   s_remat.lpips_vars, s_remat.w_avg, x, key)
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_r["loss"]),
+                               rtol=1e-6)
+    # recompute-order fp noise amplified by Adam's rsqrt at step 1, same
+    # magnitude as the DP-vs-single-device test (measured ~2.6e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_p.params),
+                    jax.tree_util.tree_leaves(st_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5)
