@@ -109,6 +109,13 @@ def cmd_train_gumbel(args):
     )
 
 
+def _parse_bits(spec: str):
+    """'8' -> 8; '12,12,10,...' -> per-W-layer allocation list."""
+    if "," in spec:
+        return [int(b) for b in spec.split(",")]
+    return int(spec)
+
+
 def cmd_compress(args):
     import jax.numpy as jnp
 
@@ -127,7 +134,7 @@ def cmd_compress(args):
         orig, comp, ratio = codec.save_compressed(x, args.output)
     else:
         orig, comp, ratio = codec.save_compressed(
-            x, args.output, quantization_bits=args.bits)
+            x, args.output, quantization_bits=_parse_bits(args.bits))
     dt = time.time() - t0
     print(f"compressed {args.image} -> {args.output}")
     print(f"  original: {orig / 1024:.2f} KB   compressed: {comp / 1024:.2f} KB"
@@ -341,7 +348,9 @@ def main(argv=None):
     p.add_argument("--output", type=str, required=True)
     p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
                    default="auto")
-    p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--bits", type=str, default="8",
+                   help="bit depth, or a comma list for per-W-layer "
+                        "allocation (e.g. 12,12,10,10,8,8,8,8,6,6,6,6,4,4,4,4)")
     p.add_argument("--no-cabac", action="store_true")
     p.set_defaults(fn=cmd_compress)
 
