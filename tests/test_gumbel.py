@@ -159,3 +159,26 @@ def test_stage2_resume_from_stage1_encoder():
     for a, b in zip(jax.tree_util.tree_leaves(s1.state.params),
                     jax.tree_util.tree_leaves(s2.state.params["encoder"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage2_data_parallel_step():
+    """Stage-2 joint (encoder+discretization) training over the 8-device mesh."""
+    from image_compression_2_tpu.parallel import create_mesh, shard_batch
+
+    enc_cfg, gen_cfg = _cfgs()
+    mesh = create_mesh(n_data=8)
+    setup = build_stage2(enc_cfg, gen_cfg, n_embeddings=16, use_lpips=False,
+                         mesh=mesh, seed=0)
+    x = np.random.RandomState(0).uniform(-1, 1, [8, RES, RES, 3]).astype(
+        np.float32)
+    with mesh:
+        state, m = setup.train_step(
+            setup.state, setup.gen_vars, None, setup.w_avg,
+            shard_batch(x, mesh), jax.random.PRNGKey(1),
+        )
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
+    # both parameter groups updated across the mesh
+    lt0 = float(setup.state.params["discretization"]["log_temperature"][0])
+    lt1 = float(state.params["discretization"]["log_temperature"][0])
+    assert lt0 != lt1
