@@ -30,6 +30,10 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def bench_tpu(batch: int = BATCH, iters: int = 10):
     import jax
     import jax.numpy as jnp
+
+    from image_compression_2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from image_compression_2_tpu.core import (EncoderConfig, GeneratorConfig,
                                               Precision)
     from image_compression_2_tpu.codec import Compressor

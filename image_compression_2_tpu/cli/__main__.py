@@ -394,6 +394,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bundle)
 
     args = ap.parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
 
 
