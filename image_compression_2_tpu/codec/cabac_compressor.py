@@ -9,6 +9,9 @@ returning (bytes, metadata) with orig_size measured against raw index bytes,
 - every stream gets FRESH contexts (the reference mutates one shared model
   across encode and decode, so its own roundtrip decodes with drifted state —
   SURVEY §2.3 E5);
+- batches are coded as B INDEPENDENT per-image streams (lengths recorded in
+  metadata): encode/decode parallelise across cores (the native coder
+  releases the GIL) and any single image decodes without the rest;
 - the device side (encoder, discretization, synthesis) is batched TPU work;
   only the sequential range-coder loop runs on host, in native C++;
 - metadata additionally reports ``orig_size_pixels``/``ratio_vs_pixels`` so
@@ -18,14 +21,15 @@ returning (bytes, metadata) with orig_size measured against raw index bytes,
 
 from __future__ import annotations
 
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 import jax.numpy as jnp
 
-from ..coding import decode as cabac_decode_auto
-from ..coding import encode as cabac_encode_auto
+from ..coding import decode_batched as cabac_decode_batched
+from ..coding import encode_batched as cabac_encode_batched
 from ..coding.container import read_cabac_file, write_cabac_file
 from .gumbel_compressor import GumbelCompressor
 
@@ -72,20 +76,34 @@ class CABACCompressor(GumbelCompressor):
             use_priors = self.priors is not None
         codes = np.asarray(super().compress(x), np.int32)
         orig_size = codes.size * np.log2(self.n_embeddings) / 8  # raw index B
+        stream_lengths = None
         if use_cabac:
             priors = self.priors if use_priors else None
-            payload = cabac_encode_auto(codes, self.n_embeddings, priors)
+            # one INDEPENDENT stream per image (fresh contexts), coded on a
+            # thread pool — batch encode scales with cores and any single
+            # image can be decoded without touching the others
+            payload, stream_lengths = cabac_encode_batched(
+                codes, self.n_embeddings, priors)
             # Entropy coding must never expand: if the codes carry ~no mutual
             # information (e.g. an untrained encoder), fall back to packed raw.
             raw = self._pack_raw(codes)
             if len(raw) < len(payload):
                 payload, use_cabac, use_priors = raw, False, False
+                stream_lengths = None
         else:
             use_priors = False
             payload = self._pack_raw(codes)
         comp_size = len(payload)
         orig_size_pixels = int(np.prod(x.shape)) * 4
-        metadata = {
+        metadata = {}
+        if use_cabac and use_priors:
+            # Decoding with a different prior table silently desyncs the range
+            # coder into plausible garbage; record the table identity so
+            # decompress can verify it (the payload CRC cannot catch this).
+            metadata["priors_crc32"] = zlib.crc32(self.priors.tobytes())
+        if stream_lengths is not None:
+            metadata["stream_lengths"] = stream_lengths
+        metadata |= {
             "codec": "ic2t-cabac-v1" if use_cabac else self._raw_codec_name(),
             "shape": list(codes.shape),
             "n_embeddings": int(self.n_embeddings),
@@ -111,7 +129,12 @@ class CABACCompressor(GumbelCompressor):
               "raw-int32": np.int32}[codec]
         return np.frombuffer(payload, dt).reshape(shape).astype(np.int32)
 
-    def decompress_entropy(self, payload: bytes, metadata: Dict) -> jnp.ndarray:
+    def decompress_entropy(
+        self, payload: bytes, metadata: Dict,
+        image_index: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Reconstruct the batch — or, with ``image_index``, a single image
+        (possible because every image is an independent entropy stream)."""
         shape = tuple(metadata["shape"])
         if metadata.get("use_cabac", True):
             priors = None
@@ -120,10 +143,21 @@ class CABACCompressor(GumbelCompressor):
                     "stream was encoded with trained priors; load_priors() first"
                 )
                 priors = self.priors
-            codes = cabac_decode_auto(payload, shape, metadata["n_embeddings"],
-                                      priors)
+                expected_crc = metadata.get("priors_crc32")
+                if (expected_crc is not None
+                        and zlib.crc32(priors.tobytes()) != expected_crc):
+                    raise ValueError(
+                        "loaded prior table does not match the one this "
+                        "stream was encoded with (crc mismatch)"
+                    )
+            codes = cabac_decode_batched(
+                payload, metadata.get("stream_lengths"), shape,
+                metadata["n_embeddings"], priors, image_index=image_index,
+            )
         else:
             codes = self._unpack_raw(payload, shape, metadata["codec"])
+            if image_index is not None:
+                codes = codes[image_index:image_index + 1]
         return self.decompress(jnp.asarray(codes))
 
     def save_compressed(  # type: ignore[override]

@@ -69,6 +69,10 @@ class Compressor:
         self.generator_vars = generator_vars
         self.training_resolution = training_resolution
         self.mesh = mesh
+        # Stochastic-encode calls without an explicit key fold this counter
+        # into a fixed base key, so consecutive calls draw fresh posterior
+        # noise instead of silently reusing PRNGKey(0) every time.
+        self._sample_counter = 0
 
     # ---------------------------------------------------------------- factory
     @classmethod
@@ -134,6 +138,12 @@ class Compressor:
             for det in (True, False)
         }
 
+    def _next_sample_key(self) -> jax.Array:
+        """Fresh key for stochastic encodes when the caller supplied none."""
+        key = jax.random.fold_in(jax.random.PRNGKey(0), self._sample_counter)
+        self._sample_counter += 1
+        return key
+
     # -------------------------------------------------------------- user API
     def forward(self, x, sample_key: Optional[jax.Array] = None):
         """Encode + reconstruct. Returns (image, w_plus)."""
@@ -145,7 +155,7 @@ class Compressor:
                sample_key: Optional[jax.Array] = None) -> jnp.ndarray:
         """Image -> W+ (means when deterministic, else a posterior sample)."""
         if not deterministic and sample_key is None:
-            sample_key = jax.random.PRNGKey(0)
+            sample_key = self._next_sample_key()
         w_plus, means, _ = self._encode_fn(
             self.encoder_vars, x, None if deterministic else sample_key
         )
@@ -167,7 +177,7 @@ class Compressor:
                 self.encoder_vars, x, bits=int(quantization_bits)
             )
         if sample_key is None:
-            sample_key = jax.random.PRNGKey(0)
+            sample_key = self._next_sample_key()
         return self._compress_fn[False](
             self.encoder_vars, x, sample_key, bits=int(quantization_bits)
         )

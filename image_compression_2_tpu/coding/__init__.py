@@ -1,4 +1,10 @@
-from .cabac import build_prior, cabac_decode, cabac_encode, context_shift
+from .cabac import (
+    build_prior,
+    cabac_decode,
+    cabac_encode,
+    check_priors,
+    context_shift,
+)
 from .container import read_cabac_file, write_cabac_file
 from .native import decode_native, encode_native, native_available
 from .rangecoder import RangeDecoder, RangeEncoder
@@ -11,9 +17,72 @@ def encode(data, n_symbols: int, priors=None) -> bytes:
 
 
 def decode(payload: bytes, shape, n_symbols: int, priors=None):
+    check_priors(shape, n_symbols, priors)
     out = decode_native(payload, shape, n_symbols, priors)
     return out if out is not None else cabac_decode(payload, shape, n_symbols,
                                                     priors)
+
+
+def encode_batched(data, n_symbols: int, priors=None, max_workers=None):
+    """Encode each image of ``[B, T, D]`` as an INDEPENDENT stream (fresh
+    contexts per image), coded in parallel on a thread pool — the native
+    coder releases the GIL during the symbol loop, so batch wall time scales
+    down with cores.  Returns (concatenated payload, per-image lengths);
+    independent streams also make single-image decode possible.
+    """
+    import numpy as np
+
+    data = np.ascontiguousarray(data)
+    B = data.shape[0]
+    if B == 1:
+        payload = encode(data, n_symbols, priors)
+        return payload, [len(payload)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        parts = list(
+            ex.map(lambda i: encode(data[i:i + 1], n_symbols, priors),
+                   range(B))
+        )
+    return b"".join(parts), [len(p) for p in parts]
+
+
+def decode_batched(payload: bytes, lengths, shape, n_symbols: int,
+                   priors=None, image_index=None, max_workers=None):
+    """Decode per-image streams written by ``encode_batched``.
+
+    ``lengths=None`` decodes a legacy single-stream payload.  With
+    ``image_index`` only that image's stream is decoded (shape [1, T, D])."""
+    import numpy as np
+
+    B, T, D = shape
+    if lengths is None:
+        assert image_index is None, (
+            "single-stream payloads cannot be decoded per-image"
+        )
+        return decode(payload, shape, n_symbols, priors)
+    assert len(lengths) == B and sum(lengths) == len(payload), (
+        lengths, B, len(payload)
+    )
+    offsets = [0]
+    for n in lengths:
+        offsets.append(offsets[-1] + n)
+    if image_index is not None:
+        part = payload[offsets[image_index]:offsets[image_index + 1]]
+        return decode(part, (1, T, D), n_symbols, priors)
+    if B == 1:
+        return decode(payload, shape, n_symbols, priors)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        parts = list(
+            ex.map(
+                lambda i: decode(payload[offsets[i]:offsets[i + 1]],
+                                 (1, T, D), n_symbols, priors),
+                range(B),
+            )
+        )
+    return np.concatenate(parts, axis=0)
 
 
 __all__ = [
@@ -23,9 +92,12 @@ __all__ = [
     "RangeEncoder",
     "cabac_decode",
     "cabac_encode",
+    "check_priors",
     "decode",
+    "decode_batched",
     "decode_native",
     "encode",
+    "encode_batched",
     "encode_native",
     "native_available",
     "read_cabac_file",

@@ -89,20 +89,34 @@ class _Model:
         self.totals[key] = t
 
 
+def check_priors(shape, n_symbols: int, priors: Optional[np.ndarray]) -> None:
+    """Validate a prior table against a stream shape (B, T, D).
+
+    Run on BOTH encode and decode: a mismatched or stale prior table on the
+    decode side silently desyncs the range coder and yields garbage codes
+    (the container CRC covers only the payload, not the prior table)."""
+    if priors is None:
+        return
+    B, T, D = shape
+    if priors.shape != (T, D, n_symbols):
+        raise ValueError(
+            f"prior table shape {priors.shape} does not match stream "
+            f"(T={T}, D={D}, n_symbols={n_symbols})"
+        )
+    if priors.min() < 1:
+        raise ValueError("prior frequencies must be >= 1")
+    if int(priors.sum(-1, dtype=np.int64).max()) >= MAX_TOTAL:
+        raise ValueError(
+            "prior mass per position must stay below the halving threshold"
+        )
+
+
 def _check(data: np.ndarray, n_symbols: int, priors: Optional[np.ndarray]):
     assert data.ndim == 3, data.shape
     assert data.min() >= 0 and data.max() < n_symbols, (
         "symbols out of range for codebook"
     )
-    if priors is not None:
-        assert priors.shape == (data.shape[1], data.shape[2], n_symbols), (
-            priors.shape,
-            data.shape,
-        )
-        assert priors.min() >= 1, "prior frequencies must be >= 1"
-        assert int(priors.sum(-1).max()) < MAX_TOTAL, (
-            "prior mass per position must stay below the halving threshold"
-        )
+    check_priors(data.shape, n_symbols, priors)
 
 
 def cabac_encode(
@@ -135,6 +149,7 @@ def cabac_decode(
 ) -> np.ndarray:
     """Decode back to an int32 array of ``shape`` = (B, T, D)."""
     B, T, D = shape
+    check_priors(shape, n_symbols, priors)
     out = np.zeros((B, T, D), np.int32)
     model = _Model(n_symbols, priors)
     dec = RangeDecoder(payload)
@@ -191,8 +206,12 @@ def build_prior(
         radius = int(np.ceil(3 * smooth_width))
         k = np.exp(-0.5 * (np.arange(-radius, radius + 1) / smooth_width) ** 2)
         k /= k.sum()
+        # centre-cropped full convolution: mode="same" would return
+        # max(n_symbols, kernel) entries, breaking tables for codebooks
+        # smaller than the kernel (n_symbols < 6*width+1)
         hist = np.apply_along_axis(
-            lambda r: np.convolve(r, k, mode="same"), -1, hist
+            lambda r: np.convolve(r, k, mode="full")[radius:radius + len(r)],
+            -1, hist,
         )
     probs = hist / np.maximum(hist.sum(-1, keepdims=True), 1e-12)
     table = 1 + np.round(probs * mass)

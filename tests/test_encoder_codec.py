@@ -134,3 +134,22 @@ def test_codec_training_resolution_resize():
     img, _ = comp.forward(x)
     # generator makes 32², forward resizes back to the input 16²
     assert img.shape == (1, 16, 16, 3)
+
+
+def test_stochastic_encodes_differ(tiny_codec):
+    """Two stochastic encodes without an explicit key must draw fresh
+    posterior noise (round-1 silently reused PRNGKey(0) every call)."""
+    x = jax.random.uniform(jax.random.PRNGKey(5), [1, 32, 32, 3],
+                           minval=-1, maxval=1)
+    w1 = np.asarray(tiny_codec.encode(x, deterministic=False))
+    w2 = np.asarray(tiny_codec.encode(x, deterministic=False))
+    assert not np.array_equal(w1, w2)
+    c1 = np.asarray(tiny_codec.compress(x, 8, deterministic=False))
+    c2 = np.asarray(tiny_codec.compress(x, 8, deterministic=False))
+    assert not np.array_equal(c1, c2)
+    # explicit keys stay reproducible
+    k = jax.random.PRNGKey(9)
+    np.testing.assert_array_equal(
+        np.asarray(tiny_codec.encode(x, deterministic=False, sample_key=k)),
+        np.asarray(tiny_codec.encode(x, deterministic=False, sample_key=k)),
+    )
