@@ -44,7 +44,8 @@ def _load_codec(args, kind: str):
     precision = Precision(
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     if args.bundle:
-        return load_codec(args.bundle, precision=precision)
+        codec = load_codec(args.bundle, precision=precision)
+        return _reconcile_kind(codec, kind, precision)
     gen_res = args.generator_resolution or args.resolution
     gen_cfg = GeneratorConfig(img_resolution=gen_res)
     if args.checkpoint:
@@ -67,6 +68,44 @@ def _load_codec(args, kind: str):
     return GumbelCompressor.create(enc_cfg, gen_cfg, seed=args.seed,
                                    n_embeddings=args.n_embeddings,
                                    precision=precision)
+
+
+def _reconcile_kind(codec, kind: str, precision):
+    """Make a loaded bundle match the requested method.
+
+    A Gumbel/CABAC bundle used with method=uniform (or vice versa) must not
+    fall through to the wrong ``save_compressed`` signature — re-wrap the
+    shared weights into the requested codec class where possible, else fail
+    with a clear message.
+    """
+    from ..codec import Compressor
+    from ..codec.cabac_compressor import CABACCompressor
+    from ..codec.gumbel_compressor import GumbelCompressor
+
+    want = {"uniform": Compressor, "gumbel": GumbelCompressor,
+            "cabac": CABACCompressor}[kind]
+    if type(codec) is want:
+        return codec
+    if want is Compressor:
+        # any codec carries encoder+generator weights; drop the discretizer
+        return Compressor(codec.encoder_cfg, codec.generator_cfg,
+                          codec.encoder_vars, codec.generator_vars,
+                          training_resolution=codec.training_resolution,
+                          precision=precision)
+    if not isinstance(codec, GumbelCompressor):
+        raise SystemExit(
+            f"bundle holds a {type(codec).__name__} (no discretization "
+            f"codebook); cannot run method={kind!r} — re-train stage 2 or "
+            f"pick --method uniform"
+        )
+    out = want(codec.encoder_cfg, codec.generator_cfg, codec.encoder_vars,
+               codec.generator_vars, disc_vars=codec.disc_vars,
+               n_embeddings=codec.n_embeddings,
+               training_resolution=codec.training_resolution,
+               precision=precision)
+    if want is CABACCompressor and getattr(codec, "priors", None) is not None:
+        out.priors = codec.priors
+    return out
 
 
 def cmd_train(args):
@@ -285,6 +324,44 @@ def cmd_eval(args):
     print(report)
 
 
+def cmd_download(args):
+    """Dataset acquisition — surface parity with the reference's
+    download_imagenet100.py (:21-296): kaggle download, structure detection,
+    optional flat-class 80/20 split, and stats."""
+    from ..data.imagenet100 import (
+        dataset_stats,
+        detect_structure,
+        download_imagenet100,
+        kaggle_available,
+        split_flat_classes,
+    )
+
+    root = args.target
+    if args.stats_only:
+        pass
+    elif os.path.isdir(root) and os.listdir(root):
+        print(f"{root} already populated; skipping download")
+    elif kaggle_available():
+        print("downloading ambityga/imagenet100 via the Kaggle API ...")
+        root = download_imagenet100(root)
+    else:
+        raise SystemExit(
+            "kaggle package/credentials unavailable; place the dataset "
+            f"under {root} manually (class dirs of jpegs), then re-run "
+            "with --stats-only"
+        )
+    structure = detect_structure(root)
+    print(f"structure: {structure}")
+    if args.split and structure.get("layout") == "flat":
+        train_paths, val_paths = split_flat_classes(root, val_fraction=0.2,
+                                                    seed=args.seed)
+        print(f"flat-layout 80/20 split -> {len(train_paths)} train / "
+              f"{len(val_paths)} val images")
+    stats = dataset_stats(root)
+    for k, v in stats.items():
+        print(f"  {k}: {v}")
+
+
 def cmd_bundle(args):
     from ..codec.bundle import codec_from_training, save_codec
 
@@ -385,6 +462,16 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="./eval_out")
     p.add_argument("--bits-sweep", type=str, default="4,8,10")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("download",
+                       help="fetch/inspect the ImageNet-100 dataset")
+    p.add_argument("--target", type=str, default="./imagenet100")
+    p.add_argument("--split", action="store_true",
+                   help="report an 80/20 train/val split for flat layouts")
+    p.add_argument("--stats-only", action="store_true",
+                   help="skip download; just detect structure and count")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_download)
 
     p = sub.add_parser("bundle", help="package a training checkpoint as a codec bundle")
     _add_model_flags(p)

@@ -132,12 +132,25 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Re-check stop while blocked on a full queue: a consumer that
+            # abandons iteration mid-epoch must not leave this thread (and its
+            # pinned batches) blocked on q.put forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             for s in starts:
-                if stop.is_set():
+                if stop.is_set() or not put(
+                    self._make_batch(idx[s:s + self.batch_size])
+                ):
                     return
-                q.put(self._make_batch(idx[s:s + self.batch_size]))
-            q.put(None)
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

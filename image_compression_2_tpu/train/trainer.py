@@ -47,24 +47,28 @@ def _epoch_pass(setup, loader, state, key, mesh, train: bool):
     """One pass over the loader; returns (state, averaged metrics)."""
     sums: Dict[str, float] = {}
     n = 0
-    for batch in loader:
+    for batch_idx, batch in enumerate(loader):
         x = batch[0] if isinstance(batch, tuple) else batch
         bsz = x.shape[0]
         if mesh is not None:
             x = shard_batch(np.asarray(x, np.float32), mesh)
         else:
             x = jnp.asarray(x, jnp.float32)
+        # Per-batch key: eval steps fold only the (constant) state.step, so
+        # without this every validation batch would reuse one posterior-
+        # sampling key, correlating val metrics across batches.
+        bkey = jax.random.fold_in(key, batch_idx)
         if train:
             state, metrics = setup.train_step(
-                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, bkey
             )
         elif setup.eval_step is not None:
             metrics = setup.eval_step(
-                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, bkey
             )
         else:  # fallback: run the train step and discard the update
             _, metrics = setup.train_step(
-                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, key
+                state, setup.gen_vars, setup.lpips_vars, setup.w_avg, x, bkey
             )
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(v) * bsz

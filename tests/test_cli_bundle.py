@@ -146,3 +146,45 @@ def test_cli_compress_decompress_eval(tmp_path, capsys):
               "--output", cmp_dir, "--resolution", str(RES), "--no-bf16"])
     captured = capsys.readouterr().out
     assert "hvae-cabac" in captured and "png" in captured
+
+
+def test_cli_download_stats_only(tmp_path, capsys):
+    # flat class-dir layout
+    for cls in ("n001", "n002"):
+        d = tmp_path / "ds" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            save_image(np.zeros([4, 4, 3], np.float32), str(d / f"{i}.png"))
+    cli_main(["download", "--target", str(tmp_path / "ds"), "--stats-only",
+              "--split"])
+    out = capsys.readouterr().out
+    assert "layout" in out and "num_images: 6" in out
+    assert "80/20 split" in out
+
+
+def test_cli_bundle_kind_reconciliation(tmp_path, capsys):
+    """A Gumbel/CABAC bundle with method=uniform (and vice versa) must not
+    crash on the wrong save_compressed signature."""
+    img_path = str(tmp_path / "input.png")
+    save_image(np.random.RandomState(1).uniform(-1, 1, [RES, RES, 3]), img_path)
+    gen_cfg, enc_cfg = _cfgs()
+
+    cab = CABACCompressor.create(enc_cfg, gen_cfg, seed=0, n_embeddings=32)
+    cbundle = str(tmp_path / "cab.ic2t")
+    save_codec(cbundle, cab)
+
+    # cabac bundle + uniform method -> re-wrapped, runs fine
+    npz = str(tmp_path / "uni.npz")
+    cli_main(["compress", "--bundle", cbundle, "--image", img_path,
+              "--output", npz, "--method", "uniform",
+              "--resolution", str(RES), "--no-bf16"])
+    assert os.path.exists(npz)
+
+    # uniform bundle + cabac method -> clear error, not a TypeError
+    uni = Compressor.create(enc_cfg, gen_cfg, seed=0)
+    ubundle = str(tmp_path / "uni.ic2t")
+    save_codec(ubundle, uni)
+    with pytest.raises(SystemExit, match="discretization"):
+        cli_main(["compress", "--bundle", ubundle, "--image", img_path,
+                  "--output", str(tmp_path / "x.cabac"), "--method", "cabac",
+                  "--resolution", str(RES), "--no-bf16"])

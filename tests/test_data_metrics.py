@@ -164,3 +164,29 @@ def test_metrics_logger(tmp_path):
     assert log.history["loss"] == [1.5, 1.2]
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+
+
+def test_batchloader_abandoned_iteration_stops_producer():
+    """Abandoning iteration mid-epoch must unblock the producer thread even
+    when the prefetch queue is full (no leaked thread per abandoned epoch)."""
+    import threading
+    import time
+
+    from image_compression_2_tpu.data.dataset import BatchLoader
+
+    class _Ds:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros([2, 2, 3], np.float32)
+
+    before = threading.active_count()
+    loader = BatchLoader(_Ds(), batch_size=2, shuffle=False, prefetch=1)
+    it = iter(loader)
+    next(it)  # producer now blocked on the full queue
+    it.close()  # abandon: generator finally sets the stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before, "producer thread leaked"
