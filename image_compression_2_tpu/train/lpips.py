@@ -7,9 +7,12 @@ downloaded in this environment, so this module provides:
 - the exact LPIPS computation graph (VGG16 conv stack, unit-normalised feature
   differences at the 5 canonical taps, per-channel linear weighting, spatial
   mean) as a flax module;
-- ``import_torch_lpips`` (see ``compat.torch_import``) to load real LPIPS/VGG
-  weights from a torch checkpoint when one is supplied, verified to <1e-5
-  against torch outputs;
+- ``import_lpips_state`` (see ``compat.torch_import``) to load real LPIPS/VGG
+  weights from a torch checkpoint when one is supplied.  The import path and
+  this graph are verified to <1e-5 against an inline torch implementation of
+  the lpips package's computation on random VGG16+lin weights
+  (tests/test_compat.py::test_lpips_matches_torch_graph); pretrained weights
+  would flow through the identical path but are not downloadable here;
 - a deterministic random-feature fallback init: random VGG filters still yield
   a useful multi-scale structural distance (random-feature perceptual metrics
   are a known-good approximation), and the training loss semantics/weights

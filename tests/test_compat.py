@@ -291,3 +291,80 @@ def test_lpips_import_runs():
     d_diff = float(apply_fn(merged, x, y)[0])
     assert d_same < 1e-6
     assert d_diff > 0
+
+
+def _torch_lpips_reference(x, y, vgg_sd, lin_sd):
+    """The lpips package's LPIPS(net='vgg') computation written inline in
+    torch (scaling layer -> VGG16 taps -> unit-normalize -> squared diff ->
+    1x1 lin conv -> spatial average -> sum over layers), mirroring
+    lpips/lpips.py so the JAX module can be verified without the pip package
+    (/root/reference/stylegan3_hvae_full.py:490 uses lpips.LPIPS(net='vgg'))."""
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    stages = [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)]
+
+    def feats(z):
+        z = (z - shift) / scale
+        taps, k = [], 0
+        for si, (n_convs, _) in enumerate(stages):
+            for _ in range(n_convs):
+                z = F.conv2d(z, vgg_sd[f"{idx[k]}.weight"],
+                             vgg_sd[f"{idx[k]}.bias"], padding=1)
+                z = F.relu(z)
+                k += 1
+            taps.append(z)
+            if si < len(stages) - 1:
+                z = F.max_pool2d(z, 2, 2)
+        return taps
+
+    total = 0
+    for li, (a, b) in enumerate(zip(feats(x), feats(y))):
+        na = a / (a.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        d = (na - nb).square()
+        total = total + F.conv2d(d, lin_sd[f"lin{li}.model.1.weight"]).mean(
+            dim=(2, 3)).squeeze(1)
+    return total
+
+
+def test_lpips_matches_torch_graph():
+    """End-to-end numerical proof: random VGG16+lin weights through
+    ``import_lpips_state`` reproduce the torch LPIPS graph to <1e-5 — the
+    test that makes the importer's claim true without the lpips pip package
+    (pretrained weights would flow through the identical path)."""
+    from image_compression_2_tpu.train.lpips import create_lpips
+
+    torch.manual_seed(7)
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+             (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512)]
+    idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    vgg_sd = {}
+    for i, (ci, co) in zip(idx, chans):
+        # he-ish scaling keeps activations O(1) through 13 convs so the
+        # <1e-5 tolerance is meaningful, not vacuous
+        vgg_sd[f"{i}.weight"] = torch.randn(co, ci, 3, 3) * (2.0 / (9 * ci)) ** 0.5
+        vgg_sd[f"{i}.bias"] = torch.randn(co) * 0.01
+    # non-negative lin heads (trained LPIPS weights are non-negative; the
+    # flax module applies abs(), so identity here)
+    lin_sd = {f"lin{li}.model.1.weight": torch.rand(1, c, 1, 1) / c
+              for li, c in enumerate([64, 128, 256, 512, 512])}
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-1, 1, [2, 64, 64, 3]).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), -1, 1).astype(np.float32)
+
+    with torch.no_grad():
+        want = _torch_lpips_reference(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(y.transpose(0, 3, 1, 2)), vgg_sd, lin_sd,
+        ).numpy()
+
+    imported = import_lpips_state(vgg_sd, lin_sd)
+    model, variables, apply_fn = create_lpips(image_size=64)
+    merged = {"params": {**variables["params"], **imported}}
+    got = np.asarray(apply_fn(merged, jnp.asarray(x), jnp.asarray(y)))
+
+    assert want.min() > 1e-4, "degenerate activations; tolerance vacuous"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
