@@ -41,5 +41,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host array as a batch-sharded global array."""
-    return jax.device_put(batch, data_sharding(mesh))
+    """Place a host array as a batch-sharded global array.
+
+    Multi-host: ``batch`` is this process's local shard of the global batch
+    (each process feeds its own slice, e.g. via ``global_batch_slice``); the
+    global array is assembled without any cross-host data movement."""
+    sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(batch))
+    return jax.device_put(batch, sh)
