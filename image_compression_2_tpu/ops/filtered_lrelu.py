@@ -45,13 +45,32 @@ def filtered_lrelu(
     preserves signal magnitude.
 
     ``mode``: 'conv' (depthwise convs), 'matmul' (banded-operator MXU
-    matmuls — measured ~10x faster on the hot 256² layers), or 'auto'
-    (matmul whenever the filters are separable and resampling is active).
+    matmuls — measured ~10x faster on the hot 256² layers than conv),
+    'tiled' (the fused H-tiled Pallas kernel, ``pallas_flrelu_tiled`` —
+    one HBM read + one write per plane instead of four roundtrips), or
+    'auto' (currently matmul for separable resampling; flips per-layer to
+    'tiled' where benchmarked faster — see models/generator.py).
     """
     px0, px1, py0, py1 = _parse_padding(padding)
     separable = (fu is None or np.ndim(fu) == 1) and (
         fd is None or np.ndim(fd) == 1
     )
+    if mode == "tiled" and separable and (up > 1 or down > 1):
+        from .pallas_flrelu_tiled import (
+            filtered_lrelu_pallas_tiled,
+            fits_tiled,
+        )
+
+        B, H, W, C = x.shape
+        tu = 1 if fu is None else len(np.asarray(fu))
+        td = 1 if fd is None else len(np.asarray(fd))
+        if fits_tiled(H, W, C, up, down, tu, td, padding):
+            return filtered_lrelu_pallas_tiled(
+                x, fu, fd, b, up=up, down=down, padding=padding,
+                gain=gain, slope=slope, clamp=clamp,
+            )
+        if mode == "tiled":
+            raise ValueError("no legal tiling for this geometry")
     use_mm = mode == "matmul" or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )
