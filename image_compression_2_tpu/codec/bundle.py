@@ -105,8 +105,13 @@ def codec_from_training(
         block_split=tuple(cfg_meta.get("block_split", (5, 12))),
     )
     if gen_vars is None:
+        # derive the generator key EXACTLY like build_stage1/build_stage2
+        # (split(PRNGKey(seed))[1]) so a codec built from a training
+        # checkpoint pairs with the same random-init generator it was
+        # trained against
+        _, k_gen = jax.random.split(jax.random.PRNGKey(seed))
         gen_vars = jax.jit(Generator(generator_cfg).init)(
-            jax.random.PRNGKey(seed), jnp.zeros([1, generator_cfg.z_dim])
+            k_gen, jnp.zeros([1, generator_cfg.z_dim])
         )
     params = raw["params"]
     stage2 = "discretization" in params

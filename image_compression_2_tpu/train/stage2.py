@@ -141,7 +141,11 @@ def build_stage2(
     discretization = GumbelSoftmaxDiscretization(
         n_embeddings, initial_temperature=temperature
     )
-    k_enc, k_gen, k_disc = jax.random.split(jax.random.PRNGKey(seed), 3)
+    # k_enc/k_gen derived EXACTLY like build_stage1: with the same seed,
+    # stage 2 trains against the SAME frozen random-init generator that the
+    # stage-1 encoder it warm-starts from was trained against
+    k_enc, k_gen = jax.random.split(jax.random.PRNGKey(seed))
+    k_disc = jax.random.fold_in(k_gen, 1)
     if encoder_params is None:
         enc_vars = jax.jit(encoder.init)(
             k_enc,

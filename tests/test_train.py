@@ -158,3 +158,39 @@ def test_remat_training_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(st_p.params),
                     jax.tree_util.tree_leaves(st_r.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5)
+
+
+def test_generator_key_consistent_across_stages_and_bundle(tmp_path):
+    """With one seed, stage 1, stage 2, and codec_from_training must all
+    reconstruct the SAME frozen random-init generator — otherwise a stage-2
+    warm start (or a checkpoint-built codec) silently pairs the encoder with
+    a different generator than it was trained against."""
+    import numpy as np
+
+    from image_compression_2_tpu.codec.bundle import codec_from_training
+    from image_compression_2_tpu.core import EncoderConfig, GeneratorConfig
+    from image_compression_2_tpu.train.checkpoint import save_checkpoint
+    from image_compression_2_tpu.train.stage1 import build_stage1
+    from image_compression_2_tpu.train.stage2 import build_stage2
+
+    gen_cfg = GeneratorConfig.tiny(img_resolution=16, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(img_resolution=16, w_dim=gen_cfg.w_dim,
+                                 num_ws=gen_cfg.num_ws, block_split=(2, 4))
+    s1 = build_stage1(enc_cfg, gen_cfg, seed=7, use_lpips=False)
+    s2 = build_stage2(enc_cfg, gen_cfg, seed=7, use_lpips=False)
+    l1 = jax.tree_util.tree_leaves(s1.gen_vars)
+    l2 = jax.tree_util.tree_leaves(s2.gen_vars)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ckpt = str(tmp_path / "s1.ic2t")
+    save_checkpoint(ckpt, s1.state, meta={
+        "epoch": 0,
+        "config": {"max_resolution": 16, "w_dim": gen_cfg.w_dim,
+                   "num_ws": gen_cfg.num_ws,
+                   "block_split": list(enc_cfg.block_split)}})
+    codec = codec_from_training(ckpt, generator_cfg=gen_cfg, seed=7)
+    for a, b in zip(l1, jax.tree_util.tree_leaves(codec.generator_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
