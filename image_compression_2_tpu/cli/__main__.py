@@ -122,7 +122,7 @@ def cmd_train(args):
         bf16=args.bf16, resume_from=args.resume, save_every=args.save_every,
         train_samples=args.train_samples, dataset_path=args.dataset,
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
-        seed=args.seed,
+        seed=args.seed, truncation_psi=args.truncation_psi,
     )
 
 
@@ -144,7 +144,7 @@ def cmd_train_gumbel(args):
         bf16=args.bf16, resume_from=args.resume, save_every=args.save_every,
         train_samples=args.train_samples, dataset_path=args.dataset,
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
-        seed=args.seed,
+        seed=args.seed, truncation_psi=args.truncation_psi,
     )
 
 
@@ -392,6 +392,9 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--val-dataset", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--truncation-psi", type=float, default=1.0,
+                   help="synthetic-data truncation (psi<1 = more natural "
+                        "statistics, easier to invert)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-gumbel", help="stage-2 Gumbel training")
@@ -417,6 +420,9 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--val-dataset", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--truncation-psi", type=float, default=1.0,
+                   help="synthetic-data truncation (psi<1 = more natural "
+                        "statistics, easier to invert)")
     p.set_defaults(fn=cmd_train_gumbel)
 
     p = sub.add_parser("compress", help="compress an image file")

@@ -106,14 +106,18 @@ def _setup_data(
     train_samples: int,
     seed: int,
     num_prefetch: int,
+    truncation_psi: float = 1.0,
 ):
     if dataset_path is not None:
         train_ds = ImageFolderDataset(dataset_path, resolution=training_resolution)
     else:
+        # truncation_psi < 1 pulls samples toward w_avg: smoother, more
+        # natural-statistics images that are substantially easier to invert
+        # (the reference trains on psi=1 samples; this is a quality knob)
         train_ds = generate_synthetic_dataset(
             setup.generator, setup.gen_vars, num_samples=train_samples,
             batch_size=max(batch_size, 4), resolution=training_resolution,
-            seed=seed,
+            seed=seed, truncation_psi=truncation_psi,
         )
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True, seed=seed,
                                prefetch=num_prefetch)
@@ -231,6 +235,7 @@ def train_hvae_encoder(
     seed: int = 42,
     num_prefetch: int = 2,
     remat: bool = False,
+    truncation_psi: float = 1.0,
 ) -> Tuple[TrainState, Dict]:
     """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062)."""
     generator_cfg = generator_cfg or GeneratorConfig()
@@ -258,7 +263,7 @@ def train_hvae_encoder(
 
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
-        batch_size, train_samples, seed, num_prefetch,
+        batch_size, train_samples, seed, num_prefetch, truncation_psi,
     )
     config_meta = {
         "stage": 1,
@@ -304,6 +309,7 @@ def train_gumbel_hvae(
     mesh=None,
     seed: int = 42,
     num_prefetch: int = 2,
+    truncation_psi: float = 1.0,
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
@@ -343,7 +349,7 @@ def train_gumbel_hvae(
 
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
-        batch_size, train_samples, seed, num_prefetch,
+        batch_size, train_samples, seed, num_prefetch, truncation_psi,
     )
     config_meta = {
         "stage": 2,

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Rate-distortion table on held-out samples — the round-2 quality artifact.
+
+Mirrors the row shape of the reference's published results table
+(/root/reference/README.md:376-388): PSNR / MS-SSIM / LPIPS / ratio / bpp per
+operating point, for uniform-{4,8,10}, per-layer allocation, gumbel-256 raw,
+and CABAC with/without trained priors.
+
+The LPIPS column uses the random-feature fallback (pretrained VGG weights are
+not downloadable here) — comparable BETWEEN rows of this table, not with the
+reference's absolute LPIPS numbers.  PSNR/MS-SSIM/bpp are directly comparable.
+
+Usage:
+  python tools/rd_table.py --stage1 runs/r2stage1/hvae_encoder_final.ic2t \
+      --stage2 runs/r2stage2/gumbel_hvae_final.ic2t --res 256 \
+      --truncation 0.7 --out RD_TABLE.md
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage1", required=True)
+    ap.add_argument("--stage2", default=None)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="training seed (reconstructs the frozen generator)")
+    ap.add_argument("--eval-seed", type=int, default=1234,
+                    help="held-out sample seed (≠ training data seed)")
+    ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--n-calib", type=int, default=48)
+    ap.add_argument("--truncation", type=float, default=0.7)
+    ap.add_argument("--n-embeddings", type=int, default=256)
+    ap.add_argument("--out", default="RD_TABLE.md")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_compression_2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from image_compression_2_tpu.codec import Compressor
+    from image_compression_2_tpu.codec.cabac_compressor import CABACCompressor
+    from image_compression_2_tpu.codec.gumbel_compressor import GumbelCompressor
+    from image_compression_2_tpu.core import (EncoderConfig, GeneratorConfig,
+                                              Precision)
+    from image_compression_2_tpu.data.dataset import generate_synthetic_dataset
+    from image_compression_2_tpu.metrics.quality import (bits_per_pixel,
+                                                         ms_ssim, psnr)
+    from image_compression_2_tpu.models.generator import Generator
+    from image_compression_2_tpu.train.checkpoint import load_checkpoint
+    from image_compression_2_tpu.train.lpips import create_lpips
+
+    res = args.res
+    precision = Precision(compute_dtype=jnp.bfloat16)
+    gen_cfg = GeneratorConfig(img_resolution=res)
+    enc_cfg = EncoderConfig(img_resolution=res, w_dim=gen_cfg.w_dim,
+                            num_ws=gen_cfg.num_ws)
+
+    # the frozen generator, derived exactly like build_stage1/2
+    generator = Generator(gen_cfg, precision)
+    _, k_gen = jax.random.split(jax.random.PRNGKey(args.seed))
+    gen_vars = jax.jit(generator.init)(k_gen, jnp.zeros([1, gen_cfg.z_dim]))
+
+    raw1, meta1 = load_checkpoint(args.stage1)
+    enc1 = {"params": raw1["params"]}
+    print(f"stage-1 checkpoint: epoch {meta1.get('epoch')}")
+
+    # held-out + calibration samples (never seen in training: different seed)
+    n_total = args.n_eval + args.n_calib
+    ds = generate_synthetic_dataset(
+        generator, gen_vars, num_samples=n_total, batch_size=8,
+        resolution=res, seed=args.eval_seed, truncation_psi=args.truncation)
+    images = np.stack([ds[i][0] if isinstance(ds[i], tuple) else ds[i]
+                       for i in range(n_total)])
+    x_eval = jnp.asarray(images[:args.n_eval])
+    x_calib = jnp.asarray(images[args.n_eval:])
+    pix_bytes = args.n_eval * res * res * 3 * 4 / args.n_eval  # per image
+
+    _, lp_vars, lp_apply = create_lpips(seed=0, image_size=res)
+
+    def metrics(x, recon, comp_bytes_per_img):
+        x = jnp.asarray(x, jnp.float32)
+        recon = jnp.asarray(recon, jnp.float32)
+        if recon.shape[1] != x.shape[1]:
+            recon = jax.image.resize(recon, x.shape, method="bilinear")
+        p = float(jnp.mean(psnr(x, recon)))
+        m = float(jnp.mean(ms_ssim(x, recon)))
+        lp = float(jnp.mean(lp_apply(lp_vars, x, recon)))
+        return {
+            "psnr": round(p, 2),
+            "ms_ssim": round(m, 4),
+            "lpips_rf": round(lp, 4),
+            "ratio": round(pix_bytes / comp_bytes_per_img, 1),
+            "bpp": round(bits_per_pixel(comp_bytes_per_img, res, res), 3),
+        }
+
+    rows = {}
+
+    uni = Compressor(enc_cfg, gen_cfg, enc1, gen_vars, precision=precision)
+    for bits in (4, 8, 10):
+        w = uni.compress(x_eval, quantization_bits=bits)
+        recon = uni.decompress(w)
+        comp = w.size / args.n_eval * bits / 8
+        rows[f"uniform-{bits}bit"] = metrics(x_eval, recon, comp)
+        print(f"uniform-{bits}bit: {rows[f'uniform-{bits}bit']}", flush=True)
+
+    alloc = (12, 12, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6, 4, 4, 4, 4)
+    w = uni.compress(x_eval, quantization_bits=alloc)
+    recon = uni.decompress(w)
+    comp = sum(alloc) * gen_cfg.w_dim / 8
+    rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
+    print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
+
+    if args.stage2 and os.path.exists(args.stage2):
+        raw2, meta2 = load_checkpoint(args.stage2)
+        p2 = raw2["params"]
+        print(f"stage-2 checkpoint: epoch {meta2.get('epoch')}")
+        n_emb = meta2.get("config", {}).get("n_embeddings", args.n_embeddings)
+        cab = CABACCompressor(
+            enc_cfg, gen_cfg, {"params": p2["encoder"]}, gen_vars,
+            disc_vars={"params": p2["discretization"]}, n_embeddings=n_emb,
+            precision=precision)
+
+        codes = cab.compress(x_eval)
+        recon = cab.decompress(codes)
+        comp_raw = codes.size / args.n_eval * np.log2(n_emb) / 8
+        rows[f"gumbel-{n_emb}-raw"] = metrics(x_eval, recon, comp_raw)
+        print(f"gumbel-{n_emb}-raw: {rows[f'gumbel-{n_emb}-raw']}", flush=True)
+
+        payload, meta = cab.compress_entropy(x_eval, use_cabac=True,
+                                             use_priors=False)
+        rows["gumbel+cabac"] = metrics(
+            x_eval, cab.decompress_entropy(payload, meta),
+            meta["comp_size"] / args.n_eval)
+        rows["gumbel+cabac"]["codec"] = meta["codec"]
+        print(f"gumbel+cabac: {rows['gumbel+cabac']}", flush=True)
+
+        cab.calibrate(x_calib)
+        payload, meta = cab.compress_entropy(x_eval, use_cabac=True,
+                                             use_priors=True)
+        rows["gumbel+cabac+priors"] = metrics(
+            x_eval, cab.decompress_entropy(payload, meta),
+            meta["comp_size"] / args.n_eval)
+        rows["gumbel+cabac+priors"]["codec"] = meta["codec"]
+        print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}", flush=True)
+
+    header = (f"# Rate-distortion table — {res}², {args.n_eval} HELD-OUT "
+              f"samples (seed {args.eval_seed}, psi={args.truncation})\n\n"
+              "LPIPS column = random-feature fallback (no pretrained VGG "
+              "in this environment): comparable between rows, not with the "
+              "reference's absolute LPIPS.\n\n"
+              "| method | PSNR (dB) | MS-SSIM | LPIPS(rf) | ratio | bpp |\n"
+              "|---|---|---|---|---|---|\n")
+    lines = [
+        f"| {name} | {m['psnr']} | {m['ms_ssim']} | {m['lpips_rf']} "
+        f"| {m['ratio']}:1 | {m['bpp']} |"
+        for name, m in rows.items()
+    ]
+    with open(args.out, "w") as f:
+        f.write(header + "\n".join(lines) + "\n")
+    with open(args.out.replace(".md", ".json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
