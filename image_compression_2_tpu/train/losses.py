@@ -26,6 +26,11 @@ class LossWeights:
     perceptual: float = 0.8
     kl: float = 0.01
     gumbel: float = 0.0  # stage-2 perplexity loss weight
+    # W+-space L2 supervision against the KNOWN latents of synthetic samples
+    # (the reference uses this in its simple-encoder trainer,
+    # simple_stylegan_encoder.py:248); 0 = off (real-image datasets have no
+    # ground-truth W+)
+    w_l2: float = 0.0
 
 
 def mse_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -73,7 +73,11 @@ def make_loss_fn(
     if remat:
         synth = jax.checkpoint(synth)
 
-    def loss_fn(enc_params, gen_vars, lpips_vars, w_avg, x, key):
+    def loss_fn(enc_params, gen_vars, lpips_vars, w_avg, batch, key):
+        # batch is either the image array or an (image, w_true) tuple —
+        # synthetic samples carry the exact W+ that generated them, enabling
+        # direct latent supervision (a pytree-structure, i.e. static, branch)
+        x, w_true = batch if isinstance(batch, tuple) else (batch, None)
         w_plus, means, logvars = encoder.apply({"params": enc_params}, x, key)
         img = synth(gen_vars, w_plus)
         if img.shape[1] != x.shape[1]:
@@ -92,6 +96,11 @@ def make_loss_fn(
             "perceptual_loss": percep,
             "kl_loss": kl,
         }
+        if w_true is not None and weights.w_l2 > 0:
+            wl = mse_loss(means, w_true)
+            total = total + weights.w_l2 * wl
+            metrics["w_l2_loss"] = wl
+            metrics["loss"] = total
         return total, metrics
 
     return loss_fn
@@ -175,6 +184,7 @@ class Stage1Setup:
     w_avg: jnp.ndarray
     train_step: Callable
     eval_step: Optional[Callable] = None
+    weights: LossWeights = LossWeights()
 
 
 def build_stage1(
@@ -229,4 +239,5 @@ def build_stage1(
         w_avg=w_avg,
         train_step=train_step,
         eval_step=eval_step,
+        weights=weights,
     )

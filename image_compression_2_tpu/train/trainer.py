@@ -47,13 +47,28 @@ def _epoch_pass(setup, loader, state, key, mesh, train: bool):
     """One pass over the loader; returns (state, averaged metrics)."""
     sums: Dict[str, float] = {}
     n = 0
+    # latent supervision uses the (image, w_true) tuple when the data has it
+    w_sup = getattr(setup, "weights", None) is not None and getattr(
+        setup.weights, "w_l2", 0.0) > 0
     for batch_idx, batch in enumerate(loader):
         x = batch[0] if isinstance(batch, tuple) else batch
+        w_true = (
+            batch[1]
+            if (w_sup and train and isinstance(batch, tuple)
+                and len(batch) > 1 and np.ndim(batch[1]) == 3)
+            else None
+        )
         bsz = x.shape[0]
         if mesh is not None:
             x = shard_batch(np.asarray(x, np.float32), mesh)
+            if w_true is not None:
+                w_true = shard_batch(np.asarray(w_true, np.float32), mesh)
         else:
             x = jnp.asarray(x, jnp.float32)
+            if w_true is not None:
+                w_true = jnp.asarray(w_true, jnp.float32)
+        if w_true is not None:
+            x = (x, w_true)
         # Per-batch key: eval steps fold only the (constant) state.step, so
         # without this every validation batch would reuse one posterior-
         # sampling key, correlating val metrics across batches.
@@ -236,8 +251,13 @@ def train_hvae_encoder(
     num_prefetch: int = 2,
     remat: bool = False,
     truncation_psi: float = 1.0,
+    w_weight: float = 0.0,
 ) -> Tuple[TrainState, Dict]:
-    """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062)."""
+    """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062).
+
+    ``w_weight`` > 0 adds W+-space L2 supervision against the known latents
+    of synthetic training samples (reference analogue:
+    simple_stylegan_encoder.py:248)."""
     generator_cfg = generator_cfg or GeneratorConfig()
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,
@@ -247,7 +267,7 @@ def train_hvae_encoder(
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
-                          kl=kl_weight)
+                          kl=kl_weight, w_l2=w_weight)
     setup = build_stage1(
         encoder_cfg, generator_cfg, gen_vars=gen_vars, lr=lr, weights=weights,
         use_lpips=use_lpips, precision=precision, mesh=mesh, seed=seed,

@@ -194,3 +194,35 @@ def test_generator_key_consistent_across_stages_and_bundle(tmp_path):
     codec = codec_from_training(ckpt, generator_cfg=gen_cfg, seed=7)
     for a, b in zip(l1, jax.tree_util.tree_leaves(codec.generator_vars)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_w_supervision():
+    """w_l2 > 0 + (image, w_true) batches: the loss gains the latent term and
+    a few steps pull the posterior means toward the known latents."""
+    from image_compression_2_tpu.train.losses import LossWeights
+    from image_compression_2_tpu.train.stage1 import build_stage1
+
+    gen_cfg = GeneratorConfig.tiny(img_resolution=16, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(img_resolution=16, w_dim=gen_cfg.w_dim,
+                                 num_ws=gen_cfg.num_ws, block_split=(2, 4))
+    setup = build_stage1(enc_cfg, gen_cfg, seed=3, use_lpips=False,
+                         weights=LossWeights(w_l2=1.0), lr=1e-3)
+    x = jax.random.uniform(jax.random.PRNGKey(0), [4, 16, 16, 3],
+                           minval=-1, maxval=1)
+    w_true = jax.random.normal(jax.random.PRNGKey(1),
+                               [4, gen_cfg.num_ws, gen_cfg.w_dim])
+    state = setup.state
+    first = None
+    for i in range(8):
+        state, metrics = setup.train_step(
+            state, setup.gen_vars, setup.lpips_vars, setup.w_avg,
+            (x, w_true), jax.random.PRNGKey(i))
+        assert "w_l2_loss" in metrics
+        if first is None:
+            first = float(metrics["w_l2_loss"])
+    assert float(metrics["w_l2_loss"]) < first
+    # plain image batches still work (no latent term)
+    _, m2 = setup.train_step(state, setup.gen_vars, setup.lpips_vars,
+                             setup.w_avg, x, jax.random.PRNGKey(99))
+    assert "w_l2_loss" not in m2
