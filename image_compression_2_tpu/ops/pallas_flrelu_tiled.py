@@ -78,8 +78,18 @@ class _Plan:
     pad: Tuple[int, int, int, int]
 
 
-def _even_divisors(n: int):
-    return [d for d in range(n, 0, -1) if n % d == 0 and d % 2 == 0]
+def _chunk_candidates(Ho: int, down: int, up: int):
+    """Candidate output-row chunk lengths, largest first.
+
+    ho_len need NOT divide Ho — the output is row-padded to a whole number of
+    chunks and sliced back.  Larger chunks amortise the taps_d-down row
+    overlap between consecutive oversampled bands (pure duplicated W-stage
+    work) and give the MXU bigger M dimensions."""
+    cands = [
+        L for L in range(min(Ho, 256), 1, -1)
+        if (L * down) % up == 0 and L % 2 == 0
+    ]
+    return cands
 
 
 def _geometry(H, W, up, down, pad, taps_u, taps_d):
@@ -113,13 +123,11 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
     ct = 128
     C_pad = -(-C // ct) * ct
     px0, px1, py0, py1 = pad
-    for ho_len in _even_divisors(Ho):
-        if (ho_len * down) % up != 0:
-            continue
+    for ho_len in _chunk_candidates(Ho, down, up):
         h2_len = (ho_len - 1) * down + fd_taps
         i_lo0, i_hi0 = _band(py0, up, fu_taps, 0, h2_len - 1)
         hband = i_hi0 - i_lo0 + 1
-        n_chunks = Ho // ho_len
+        n_chunks = -(-Ho // ho_len)  # output row-padded to whole chunks
         wsub = min(_W_SUB, h2_len)
         # VMEM working set: the oversampled-width stage runs in row
         # sub-slices of wsub, so only [W2, wsub, ct] ever materialises
@@ -127,12 +135,12 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
             2 * hband * W * ct * carry_bytes          # DMA slots
             + h2_len * W * ct * carry_bytes           # t1
             + 2 * wsub * W * ct * carry_bytes         # slice + transpose
-            + 2 * W2 * wsub * ct * carry_bytes        # t2 pre/post act
-            + W2 * wsub * ct * 4                      # fp32 act temp
+            + 3 * W2 * wsub * ct * carry_bytes        # t2 pre/act/post
             + 2 * Wo * wsub * ct * carry_bytes        # t3 slice + transpose
             + h2_len * Wo * ct * carry_bytes          # t3 scratch
             + 2 * ho_len * Wo * ct * carry_bytes      # output double buffer
-            + 4 * (h2_len * hband + W2 * W + Wo * W2 + ho_len * h2_len)
+            + carry_bytes * (h2_len * hband + W2 * W
+                             + Wo * W2 + ho_len * h2_len)  # operators
         )
         if work > _VMEM_BUDGET:
             continue
@@ -174,12 +182,16 @@ def _relative_operators(plan: _Plan, fu, fd, gain_up: float):
     assert A_wu.shape == (plan.W2, plan.W) and A_wd.shape == (plan.Wo, plan.W2)
 
     # shift-invariance proof: the relative operator reproduces the full
-    # (zero-pad-extended) operator at every chunk offset
+    # (zero-pad-extended) operator at every chunk offset.  The operator is
+    # row-extended past H2 to cover the padded last chunk (those extra
+    # output rows are sliced off after the kernel).
+    m_max = (plan.n_chunks - 1) * plan.ho_len * plan.down + plan.h2_len
+    extra = max(0, m_max - plan.H2)
     A_full = fir_matrix(
         np.asarray(fu_arr), plan.H + plan.p_top + plan.p_bot, up, 1,
-        py0 - plan.p_top * up, py1 - plan.p_bot * up, gain_up,
+        py0 - plan.p_top * up, py1 - plan.p_bot * up + extra, gain_up,
     )
-    assert A_full.shape[0] == plan.H2, (A_full.shape, plan)
+    assert A_full.shape[0] == plan.H2 + extra, (A_full.shape, plan)
     j0_0 = i_lo0 + plan.p_top
     for c in range(plan.n_chunks):
         m0 = c * plan.ho_len * plan.down
@@ -257,16 +269,17 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
         ).astype(carry)
         t1 = _ldot(aup_ref, x)                   # [h2_len, W, ct]
         # W-stage in row sub-slices: the [W2, *, ct] oversampled tensor
-        # never materialises beyond wsub rows
+        # never materialises beyond wsub rows.  The activation runs in the
+        # carry dtype via max/min (no vector compare needed, so bf16 is
+        # legal here — matching the matmul path, which also carries bf16).
         for s0 in range(0, plan.h2_len, wsub):
             s = min(wsub, plan.h2_len - s0)
             t = jnp.transpose(t1[s0:s0 + s], (1, 0, 2))   # [W, s, ct]
             t = _ldot(awu_ref, t)                          # [W2, s, ct]
-            tf = t.astype(jnp.float32)
-            tf = jnp.where(tf >= 0, tf, tf * slope) * gain
+            # weak-typed Python scalars keep the carry dtype
+            t = (jnp.maximum(t, 0.0) + jnp.minimum(t, 0.0) * slope) * gain
             if clamp is not None:
-                tf = jnp.clip(tf, -clamp, clamp)
-            t = tf.astype(carry)
+                t = jnp.clip(t, -clamp, clamp)
             t = _ldot(awd_ref, t)                          # [Wo, s, ct]
             t3_ref[s0:s0 + s] = jnp.transpose(t, (1, 0, 2))
         t = _ldot(adn_ref, t3_ref[:])            # [ho_len, Wo, ct]
@@ -291,7 +304,8 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, plan.Ho, plan.Wo, plan.C_pad), out_dtype),
+            (batch, plan.n_chunks * plan.ho_len, plan.Wo, plan.C_pad),
+            out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, hband, W, ct), carry),
             pltpu.VMEM((plan.h2_len, plan.Wo, ct), carry),
@@ -312,10 +326,13 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
             x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, plan.C_pad - C)])
             bias = jnp.pad(bias, [(0, plan.C_pad - C)])
         x = x.reshape(B, x.shape[1], W_, K, ct)
+        # operators ship in the carry dtype (the matmul path also casts its
+        # dense operators to the compute dtype before the MXU)
         out = call(x, bias.astype(jnp.float32)[None],
-                   jnp.asarray(A_up), jnp.asarray(A_wu),
-                   jnp.asarray(A_wd), jnp.asarray(A_dn))
-        return out[..., :C] if plan.C_pad != C else out
+                   jnp.asarray(A_up, carry), jnp.asarray(A_wu, carry),
+                   jnp.asarray(A_wd, carry), jnp.asarray(A_dn, carry))
+        # drop the row padding of the last chunk and any channel padding
+        return out[:, :plan.Ho, :, :C]
 
     return run
 
