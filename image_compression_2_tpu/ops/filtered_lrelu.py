@@ -44,17 +44,27 @@ def filtered_lrelu(
     The upsampling filter gets an ``up**2`` energy gain so interpolation
     preserves signal magnitude.
 
-    ``mode``: 'conv' (depthwise convs), 'matmul' (banded-operator MXU
-    matmuls — measured ~10x faster on the hot 256² layers than conv),
-    'tiled' (the fused H-tiled Pallas kernel, ``pallas_flrelu_tiled`` —
-    one HBM read + one write per plane instead of four roundtrips), or
-    'auto' (currently matmul for separable resampling; flips per-layer to
-    'tiled' where benchmarked faster — see models/generator.py).
+    ``mode``: 'conv' (depthwise convs — linear in plane size, VPU-bound),
+    'matmul' (banded-operator MXU matmuls — ~10x faster than conv on the
+    hot 256² layers but quadratic in plane size), 'tiled' (the fused
+    H-tiled Pallas kernel, ``pallas_flrelu_tiled`` — one HBM read + one
+    write per plane instead of four roundtrips), or 'auto' (the measured
+    per-geometry winner from ``flrelu_policy.json``; matmul for
+    unbenchmarked separable-resampling geometries).
     """
     px0, px1, py0, py1 = _parse_padding(padding)
     separable = (fu is None or np.ndim(fu) == 1) and (
         fd is None or np.ndim(fd) == 1
     )
+    tu = 1 if fu is None else len(np.asarray(fu))
+    td = 1 if fd is None else len(np.asarray(fd))
+    if mode == "auto" and separable and (up > 1 or down > 1):
+        from .flrelu_policy import lookup
+
+        measured = lookup(x.shape[1], x.shape[2], x.shape[3], up, down,
+                          tu, td, (px0, px1, py0, py1))
+        if measured is not None:
+            mode = measured
     if mode == "tiled" and separable and (up > 1 or down > 1):
         from .pallas_flrelu_tiled import (
             filtered_lrelu_pallas_tiled,
@@ -62,15 +72,12 @@ def filtered_lrelu(
         )
 
         B, H, W, C = x.shape
-        tu = 1 if fu is None else len(np.asarray(fu))
-        td = 1 if fd is None else len(np.asarray(fd))
         if fits_tiled(H, W, C, up, down, tu, td, padding):
             return filtered_lrelu_pallas_tiled(
                 x, fu, fd, b, up=up, down=down, padding=padding,
                 gain=gain, slope=slope, clamp=clamp,
             )
-        if mode == "tiled":
-            raise ValueError("no legal tiling for this geometry")
+        raise ValueError("no legal tiling for this geometry")
     use_mm = mode == "matmul" or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )

@@ -99,3 +99,47 @@ def test_one_real_hot_layer_geometry_small_batch():
     _run_case(h, h, 128, spec.up_factor,
               spec.down_factor, spec.up_taps, spec.down_taps, spec.padding,
               batch=1)
+
+
+def test_auto_mode_consults_measured_policy(monkeypatch, tmp_path):
+    """mode='auto' uses the measured per-geometry winner; unbenchmarked
+    geometries keep the matmul default."""
+    import json
+
+    from image_compression_2_tpu.ops import filtered_lrelu
+    from image_compression_2_tpu.ops import flrelu_policy as fp
+    from image_compression_2_tpu.ops import pallas_flrelu_tiled as pft_mod
+    from image_compression_2_tpu.ops import design_lowpass_filter
+
+    H = W = 20
+    C = 128
+    pad = (9, 8, 9, 8)
+    key = fp.geometry_key(H, W, C, 2, 2, 12, 12, pad)
+    pfile = tmp_path / "policy.json"
+    pfile.write_text(json.dumps({"winners": {key: "tiled"}}))
+    monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
+    monkeypatch.setattr(fp, "_policy", None)
+
+    calls = []
+    real = pft_mod.filtered_lrelu_pallas_tiled
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        "image_compression_2_tpu.ops.pallas_flrelu_tiled."
+        "filtered_lrelu_pallas_tiled", spy)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    fu = design_lowpass_filter(12, 0.35, 0.4, 4.0)
+    fd = design_lowpass_filter(12, 0.35, 0.4, 4.0)
+    out = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="auto")
+    assert calls, "policy winner 'tiled' was not used"
+    # unbenchmarked geometry: no kernel call (matmul default)
+    calls.clear()
+    x2 = jnp.asarray(rng.randn(1, 24, 24, C).astype(np.float32))
+    filtered_lrelu(x2, fu, fd, None, up=2, down=2, padding=pad, mode="auto")
+    assert not calls

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Per-layer filtered-lrelu timing on the real TPU: matmul vs tiled kernel.
+"""Per-layer filtered-lrelu timing on the real TPU: conv vs matmul vs tiled.
 
 Dispatches N iterations and fetches once (the axon relay acknowledges
 block_until_ready before completion; only a host fetch truly syncs).
 
-Usage: python tools/bench_flrelu_layers.py [--res 256] [--batch 8] [--iters 20]
+Usage:
+  python tools/bench_flrelu_layers.py --res 256 --batch 8
+  python tools/bench_flrelu_layers.py --emit-policy   # 256@b8 + 1024@b2 ->
+                                                      # ops/flrelu_policy.json
 """
 
 import argparse
@@ -16,32 +19,21 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--modes", default="matmul,tiled")
-    args = ap.parse_args()
-
+def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
     import jax
     import jax.numpy as jnp
 
-    from image_compression_2_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     from image_compression_2_tpu.core import GeneratorConfig
     from image_compression_2_tpu.ops import design_lowpass_filter, filtered_lrelu
+    from image_compression_2_tpu.ops.flrelu_policy import geometry_key
     from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
+    from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
 
-    cfg = GeneratorConfig(img_resolution=args.res)
-    dtype = jnp.dtype(args.dtype)
-    modes = args.modes.split(",")
-    print(f"res={args.res} batch={args.batch} dtype={args.dtype} "
-          f"iters={args.iters}")
-    print(f"{'layer':16s} {'shape':>18s}" +
-          "".join(f" {m:>10s}" for m in modes) + "   winner")
+    cfg = GeneratorConfig(img_resolution=res)
+    dtype = jnp.dtype(dtype_name)
+    print(f"\n== res={res} batch={batch} dtype={dtype_name} iters={iters}")
+    print(f"{'layer':16s} {'shape':>20s}"
+          + "".join(f" {m:>10s}" for m in modes) + "   winner")
 
     totals = {m: 0.0 for m in modes}
     for spec in cfg.layer_specs:
@@ -57,11 +49,12 @@ def main():
                                    spec.tmp_sampling_rate,
                                    radial=spec.down_radial)
         x = jnp.asarray(
-            np.random.RandomState(0).randn(args.batch, H, H, C), dtype)
+            np.random.RandomState(0).randn(batch, H, H, C) * 0.3, dtype)
         b = jnp.asarray(np.random.RandomState(1).randn(C), jnp.float32)
 
-        row = f"{spec.name:16s} {str((args.batch, H, H, C)):>18s}"
+        row = f"{spec.name:16s} {str((batch, H, H, C)):>20s}"
         times = {}
+        ref_out = None
         for m in modes:
             if m == "tiled" and plan_tiled(
                     H, H, C, spec.up_factor, spec.down_factor,
@@ -72,27 +65,78 @@ def main():
                 x, fu, fd, b, up=spec.up_factor, down=spec.down_factor,
                 padding=spec.padding, clamp=cfg.conv_clamp, mode=m))
             try:
-                out = np.asarray(fn(x, b))  # compile + warm + correctness ref
+                out = np.asarray(fn(x, b), np.float32)  # compile + warm
             except Exception as e:
                 row += f" {'FAIL':>10s}"
-                print(f"  {m} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                print(f"  {m} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
                 continue
-            if m != modes[0] and modes[0] in times:
-                pass  # correctness cross-check happens in tests
-            xs = [x + jnp.asarray(i * 1e-6, dtype) for i in range(args.iters)]
+            if ref_out is None:
+                ref_out = out
+            else:
+                # a path that doesn't reproduce the reference output can
+                # never become the policy winner
+                err = np.max(np.abs(out - ref_out)) / max(
+                    1e-6, float(np.max(np.abs(ref_out))))
+                if err > 3e-2:
+                    row += f" {'WRONG':>10s}"
+                    print(f"  {m} mismatch rel={err:.3g}", file=sys.stderr)
+                    continue
+            xs = [x + jnp.asarray(i * 1e-6, dtype) for i in range(iters)]
             t0 = time.perf_counter()
             o = None
-            for i in range(args.iters):
+            for i in range(iters):
                 o = fn(xs[i], b)
             _ = np.asarray(o)
-            dt = (time.perf_counter() - t0) / args.iters * 1000
+            dt = (time.perf_counter() - t0) / iters * 1000
             times[m] = dt
             totals[m] += dt
             row += f" {dt:9.2f}ms"
         if times:
-            row += f"   {min(times, key=times.get)}"
+            win = min(times, key=times.get)
+            row += f"   {win}"
+            key = geometry_key(H, H, C, spec.up_factor, spec.down_factor,
+                               spec.up_taps, spec.down_taps,
+                               _parse_padding(spec.padding))
+            winners[key] = win
+            rows.append({"res": res, "layer": spec.name, "batch": batch,
+                         "times_ms": {k: round(v, 3) for k, v in times.items()}})
         print(row, flush=True)
     print("totals: " + "  ".join(f"{m}: {v:.2f} ms" for m, v in totals.items()))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--modes", default="matmul,tiled,conv")
+    ap.add_argument("--emit-policy", action="store_true",
+                    help="benchmark 256@b8 and 1024@b2, write "
+                         "ops/flrelu_policy.json")
+    args = ap.parse_args()
+
+    from image_compression_2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    winners, rows = {}, []
+    modes = args.modes.split(",")
+    if args.emit_policy:
+        for res, batch in ((256, 8), (1024, 2)):
+            bench_config(res, batch, args.iters, modes, args.dtype,
+                         winners, rows)
+        from image_compression_2_tpu.ops.flrelu_policy import save_policy
+
+        save_policy(winners, meta={
+            "hardware": "tpu v5e (1 chip)", "dtype": args.dtype,
+            "iters": args.iters, "rows": rows,
+        })
+        print(f"\nwrote policy with {len(winners)} geometries")
+    else:
+        bench_config(args.res, args.batch, args.iters, modes, args.dtype,
+                     winners, rows)
 
 
 if __name__ == "__main__":
