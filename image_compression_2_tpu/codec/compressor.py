@@ -138,6 +138,19 @@ class Compressor:
             for det in (True, False)
         }
 
+    @functools.cached_property
+    def _roundtrip_fn(self):
+        def rt(enc_vars, gen_vars, x, bits):
+            _, means, _ = self.encoder.apply(enc_vars, x, None)
+            img = self.generator.apply(
+                gen_vars, quantize_uniform(means, bits), method="synthesis"
+            )
+            if img.shape[1] != x.shape[1]:
+                img = _resize_bilinear(img, (x.shape[1], x.shape[2]))
+            return img
+
+        return jax.jit(rt, static_argnames=("bits",))
+
     def _next_sample_key(self) -> jax.Array:
         """Fresh key for stochastic encodes when the caller supplied none."""
         key = jax.random.fold_in(jax.random.PRNGKey(0), self._sample_counter)
@@ -181,6 +194,13 @@ class Compressor:
         return self._compress_fn[False](
             self.encoder_vars, x, sample_key, bits=int(quantization_bits)
         )
+
+    def roundtrip(self, x, quantization_bits: int = 8) -> jnp.ndarray:
+        """Fused deterministic transcode: encode -> quantize -> synthesize in
+        ONE compiled program (one dispatch, quantized latents never leave the
+        device).  Numerically identical to compress() + decompress()."""
+        return self._roundtrip_fn(self.encoder_vars, self.generator_vars, x,
+                                  bits=int(quantization_bits))
 
     def decompress(self, w_plus) -> jnp.ndarray:
         """W+ -> image via the frozen synthesis network."""

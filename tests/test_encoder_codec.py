@@ -153,3 +153,12 @@ def test_stochastic_encodes_differ(tiny_codec):
         np.asarray(tiny_codec.encode(x, deterministic=False, sample_key=k)),
         np.asarray(tiny_codec.encode(x, deterministic=False, sample_key=k)),
     )
+
+
+def test_fused_roundtrip_matches_two_step(tiny_codec):
+    x = jax.random.uniform(jax.random.PRNGKey(7), [2, 32, 32, 3],
+                           minval=-1, maxval=1)
+    two_step = tiny_codec.decompress(tiny_codec.compress(x, 8))
+    fused = tiny_codec.roundtrip(x, 8)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(two_step),
+                               rtol=1e-5, atol=1e-5)
