@@ -97,9 +97,13 @@ def make_loss_fn(
             "kl_loss": kl,
         }
         if w_true is not None and weights.w_l2 > 0:
-            wl = mse_loss(means, w_true)
-            total = total + weights.w_l2 * wl
-            metrics["w_l2_loss"] = wl
+            werr = jnp.square(means - w_true)
+            # KL-form magnitude (sum over latent elements, batch-meaned):
+            # a mean-form term is ~40x weaker per element than the KL prior
+            # at default weights and the supervision never wins
+            total = total + weights.w_l2 * 0.5 * jnp.mean(
+                jnp.sum(werr, axis=(1, 2)))
+            metrics["w_l2_loss"] = jnp.mean(werr)  # readable per-element MSE
             metrics["loss"] = total
         return total, metrics
 
