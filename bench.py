@@ -27,7 +27,7 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_baseline_cache.json")
 
 
-def bench_tpu(batch: int = BATCH, iters: int = 10):
+def bench_tpu(batch: int = BATCH, iters: int = 10, res: int = RES):
     import jax
     import jax.numpy as jnp
 
@@ -38,13 +38,13 @@ def bench_tpu(batch: int = BATCH, iters: int = 10):
                                               Precision)
     from image_compression_2_tpu.codec import Compressor
 
-    gen_cfg = GeneratorConfig(img_resolution=RES)
-    enc_cfg = EncoderConfig(img_resolution=RES)
+    gen_cfg = GeneratorConfig(img_resolution=res)
+    enc_cfg = EncoderConfig(img_resolution=res)
     comp = Compressor.create(
         enc_cfg, gen_cfg, seed=0, precision=Precision(compute_dtype=jnp.bfloat16)
     )
     x = jnp.asarray(
-        np.random.RandomState(0).uniform(-1, 1, [batch, RES, RES, 3]).astype(
+        np.random.RandomState(0).uniform(-1, 1, [batch, res, res, 3]).astype(
             np.float32)
     )
 
@@ -252,9 +252,20 @@ def main():
                          "committed measurement (takes ~25 min: the honest "
                          "twin with style modulation runs ~0.02 img/s)")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--res", type=int, default=RES,
+                    help="roundtrip resolution (default 256; the committed "
+                         "CPU baseline applies to 256 only)")
+    ap.add_argument("--batch", type=int, default=BATCH)
     args = ap.parse_args()
 
-    tpu_ips = bench_tpu(iters=args.iters)
+    tpu_ips = bench_tpu(batch=args.batch, iters=args.iters, res=args.res)
+    if args.res != RES:
+        print(json.dumps({
+            "metric": f"encode+decode images/sec/chip @{args.res}^2 "
+                      f"(8-bit roundtrip)",
+            "value": round(tpu_ips, 3), "unit": "img/s",
+        }))
+        return
 
     cpu_ips = None
     if not args.remeasure_baseline and os.path.exists(_CACHE):
