@@ -146,6 +146,7 @@ def cmd_train_gumbel(args):
         train_samples=args.train_samples, dataset_path=args.dataset,
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
         seed=args.seed, truncation_psi=args.truncation_psi,
+        w_weight=args.w_weight,
     )
 
 
@@ -417,6 +418,8 @@ def main(argv=None):
     p.add_argument("--perceptual-weight", type=float, default=0.8)
     p.add_argument("--gumbel-weight", type=float, default=1.0)
     p.add_argument("--rec-weight", type=float, default=1.0)
+    p.add_argument("--w-weight", type=float, default=0.0,
+                   help="W+-space L2 supervision weight (synthetic data)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--save-every", type=int, default=10)

@@ -34,7 +34,9 @@ def make_stage2_loss_fn(
     weights: LossWeights,
     n_embeddings: int,
 ):
-    def loss_fn(params, gen_vars, lpips_vars, w_avg, x, key):
+    def loss_fn(params, gen_vars, lpips_vars, w_avg, batch, key):
+        # (image, w_true) tuples enable latent supervision, as in stage 1
+        x, w_true = batch if isinstance(batch, tuple) else (batch, None)
         enc_key, gum_key = jax.random.split(key)
         w_plus, means, logvars = encoder.apply(
             {"params": params["encoder"]}, x, enc_key
@@ -67,6 +69,12 @@ def make_stage2_loss_fn(
             "perplexity_loss": perp,
             "perplexity": perplexity,
         }
+        if w_true is not None and weights.w_l2 > 0:
+            werr = jnp.square(means - w_true)
+            total = total + weights.w_l2 * 0.5 * jnp.mean(
+                jnp.sum(werr, axis=(1, 2)))
+            metrics["w_l2_loss"] = jnp.mean(werr)
+            metrics["loss"] = total
         return total, metrics
 
     return loss_fn
@@ -207,4 +215,5 @@ def build_stage2(
         w_avg=w_avg,
         train_step=train_step,
         eval_step=eval_step,
+        weights=weights,
     )

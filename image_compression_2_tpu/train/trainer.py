@@ -330,6 +330,7 @@ def train_gumbel_hvae(
     seed: int = 42,
     num_prefetch: int = 2,
     truncation_psi: float = 1.0,
+    w_weight: float = 0.0,
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
@@ -342,7 +343,7 @@ def train_gumbel_hvae(
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
-                          kl=kl_weight, gumbel=gumbel_weight)
+                          kl=kl_weight, gumbel=gumbel_weight, w_l2=w_weight)
 
     encoder_params = None
     start_epoch = 0
