@@ -61,8 +61,8 @@ def filtered_lrelu(
     if mode == "auto" and separable and (up > 1 or down > 1):
         from .flrelu_policy import lookup
 
-        measured = lookup(x.shape[1], x.shape[2], x.shape[3], up, down,
-                          tu, td, (px0, px1, py0, py1))
+        measured = lookup(x.shape[0], x.shape[1], x.shape[2], x.shape[3],
+                          up, down, tu, td, (px0, px1, py0, py1))
         if measured is not None:
             mode = measured
     if mode == "tiled" and separable and (up > 1 or down > 1):

@@ -20,10 +20,14 @@ _POLICY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _policy: Optional[Dict[str, str]] = None
 
 
-def geometry_key(H: int, W: int, C: int, up: int, down: int,
+def geometry_key(B: int, H: int, W: int, C: int, up: int, down: int,
                  fu_taps: int, fd_taps: int, pad: Tuple[int, int, int, int]
                  ) -> str:
-    return f"{H}x{W}x{C}:u{up}d{down}:t{fu_taps},{fd_taps}:p{','.join(map(str, pad))}"
+    """Batch is part of the key: the same plane geometry has different
+    winners at different batch sizes (the 256² config deploys at b8, the
+    1024² flagship at b2, and they share their early-layer geometries)."""
+    return (f"b{B}:{H}x{W}x{C}:u{up}d{down}:t{fu_taps},{fd_taps}"
+            f":p{','.join(map(str, pad))}")
 
 
 def _load() -> Dict[str, str]:
@@ -37,9 +41,19 @@ def _load() -> Dict[str, str]:
     return _policy
 
 
-def lookup(H, W, C, up, down, fu_taps, fd_taps, pad) -> Optional[str]:
-    """Measured winner for this geometry, or None if never benchmarked."""
-    return _load().get(geometry_key(H, W, C, up, down, fu_taps, fd_taps, pad))
+def lookup(B, H, W, C, up, down, fu_taps, fd_taps, pad) -> Optional[str]:
+    """Measured winner for this geometry, or None if never benchmarked.
+    Falls back to the same geometry at any measured batch size."""
+    table = _load()
+    exact = table.get(geometry_key(B, H, W, C, up, down, fu_taps, fd_taps, pad))
+    if exact is not None:
+        return exact
+    suffix = geometry_key(B, H, W, C, up, down, fu_taps, fd_taps, pad)
+    suffix = suffix[suffix.index(":"):]
+    for k, v in table.items():
+        if k.endswith(suffix) and k.startswith("b"):
+            return v
+    return None
 
 
 def save_policy(winners: Dict[str, str], meta: Dict) -> None:

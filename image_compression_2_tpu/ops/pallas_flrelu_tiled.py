@@ -59,6 +59,10 @@ class _Plan:
 
     H: int
     W: int
+    W_pad: int        # input width padded to a sublane-tile multiple (the
+                      # band DMA slices the full W axis of a tiled memref, so
+                      # its length must be tile-aligned; A_wu gets matching
+                      # zero columns, making the padding inert)
     C: int            # true channel count
     C_pad: int        # padded to a multiple of ct
     ct: int
@@ -122,6 +126,7 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
         return None
     ct = 128
     C_pad = -(-C // ct) * ct
+    W_pad = -(-W // 16) * 16  # 16 covers fp32 (8,128) and packed bf16 tiles
     px0, px1, py0, py1 = pad
     for ho_len in _chunk_candidates(Ho, down, up):
         h2_len = (ho_len - 1) * down + fd_taps
@@ -131,15 +136,16 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
         wsub = min(_W_SUB, h2_len)
         # VMEM working set: the oversampled-width stage runs in row
         # sub-slices of wsub, so only [W2, wsub, ct] ever materialises
+        h2_pad = -(-h2_len // wsub) * wsub  # t1/t3 row-padded to whole wsub
         work = (
-            2 * hband * W * ct * carry_bytes          # DMA slots
-            + h2_len * W * ct * carry_bytes           # t1
-            + 2 * wsub * W * ct * carry_bytes         # slice + transpose
+            2 * hband * W_pad * ct * carry_bytes      # DMA slots
+            + h2_pad * W_pad * ct * carry_bytes       # t1 scratch
+            + 2 * wsub * W_pad * ct * carry_bytes     # slice + transpose
             + 3 * W2 * wsub * ct * carry_bytes        # t2 pre/act/post
             + 2 * Wo * wsub * ct * carry_bytes        # t3 slice + transpose
-            + h2_len * Wo * ct * carry_bytes          # t3 scratch
+            + h2_pad * Wo * ct * carry_bytes          # t3 scratch
             + 2 * ho_len * Wo * ct * carry_bytes      # output double buffer
-            + carry_bytes * (h2_len * hband + W2 * W
+            + carry_bytes * (h2_len * hband + W2 * W_pad
                              + Wo * W2 + ho_len * h2_len)  # operators
         )
         if work > _VMEM_BUDGET:
@@ -149,7 +155,7 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
         p_top = max(0, -i_lo0)
         p_bot = max(0, i_hi_last - (H - 1))
         return _Plan(
-            H=H, W=W, C=C, C_pad=C_pad, ct=ct, up=up, down=down,
+            H=H, W=W, W_pad=W_pad, C=C, C_pad=C_pad, ct=ct, up=up, down=down,
             H2=H2, W2=W2, Ho=Ho, Wo=Wo,
             ho_len=ho_len, h2_len=h2_len, hband=hband,
             in_stride=(ho_len * down) // up, n_chunks=n_chunks,
@@ -180,6 +186,9 @@ def _relative_operators(plan: _Plan, fu, fd, gain_up: float):
     A_wu = fir_matrix(fu_arr, plan.W, up, 1, px0, px1, 1.0)
     A_wd = fir_matrix(fd_arr, plan.W2, 1, plan.down, 0, 0, 1.0)
     assert A_wu.shape == (plan.W2, plan.W) and A_wd.shape == (plan.Wo, plan.W2)
+    if plan.W_pad != plan.W:
+        # zero columns for the tile-alignment padding of the input width
+        A_wu = np.pad(A_wu, [(0, 0), (0, plan.W_pad - plan.W)])
 
     # shift-invariance proof: the relative operator reproduces the full
     # (zero-pad-extended) operator at every chunk offset.  The operator is
@@ -219,7 +228,7 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
         jax.lax.Precision.HIGHEST if out_dtype == jnp.float32 else None
     )
     carry = jnp.float32 if out_dtype == jnp.float32 else jnp.bfloat16
-    ct, hband, W = plan.ct, plan.hband, plan.W
+    ct, hband, W = plan.ct, plan.hband, plan.W_pad
     K = plan.C_pad // ct
     wsub = min(_W_SUB, plan.h2_len)
 
@@ -230,16 +239,23 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
             precision=precision,
         ).astype(carry)
 
+    n_sub = -(-plan.h2_len // wsub)
+    h2_pad = n_sub * wsub
+
     def kernel(x_hbm, b_ref, aup_ref, awu_ref, awd_ref, adn_ref, o_ref,
-               xband, t3_ref, sem):
+               xband, t1_ref, t3_ref, sem):
         b = pl.program_id(0)
         k = pl.program_id(1)
         c = pl.program_id(2)
 
         def band_dma(cc, slot):
+            # x ships as [B, K, Hp, W, ct]: every sliced dim (b, k, rows) is
+            # an untiled leading dim — Mosaic requires HBM slices along the
+            # tiled (second-minor, minor) pair to be tile-aligned, which a
+            # size-1 K slice of a [.., K, ct] layout is not.
             return pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(j0_0 + cc * plan.in_stride, hband),
-                         slice(None), k, slice(None)],
+                x_hbm.at[b, k, pl.ds(j0_0 + cc * plan.in_stride, hband),
+                         slice(None), slice(None)],
                 xband.at[slot],
                 sem.at[slot],
             )
@@ -267,22 +283,35 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
             xband[c % 2].astype(jnp.float32) + b_ref[0][None, None, :],
             0.0,
         ).astype(carry)
-        t1 = _ldot(aup_ref, x)                   # [h2_len, W, ct]
-        # W-stage in row sub-slices: the [W2, *, ct] oversampled tensor
-        # never materialises beyond wsub rows.  The activation runs in the
-        # carry dtype via max/min (no vector compare needed, so bf16 is
-        # legal here — matching the matmul path, which also carries bf16).
-        for s0 in range(0, plan.h2_len, wsub):
-            s = min(wsub, plan.h2_len - s0)
-            t = jnp.transpose(t1[s0:s0 + s], (1, 0, 2))   # [W, s, ct]
-            t = _ldot(awu_ref, t)                          # [W2, s, ct]
+        t1_ref[:plan.h2_len] = _ldot(aup_ref, x)  # [h2_len, W, ct]
+        if h2_pad != plan.h2_len:
+            # the loop below reads whole wsub slices; zero the row padding
+            # so no uninitialised VMEM feeds the MXU (the results computed
+            # from it land in t3 rows that A_dn never contracts)
+            t1_ref[plan.h2_len:] = jnp.zeros(
+                (h2_pad - plan.h2_len, W, ct), carry)
+
+        # W-stage in row sub-slices via fori_loop: the [W2, *, ct]
+        # oversampled tensor never materialises beyond wsub rows, and the
+        # loop body's temporaries reuse one stack frame (a Python-unrolled
+        # loop keeps every iteration's slices live and overflows VMEM on
+        # the taller chunks).  The activation runs in the carry dtype via
+        # max/min (no vector compare needed, so bf16 is legal here —
+        # matching the matmul path, which also carries bf16).
+        def wstage(i, _):
+            t = t1_ref[pl.ds(i * wsub, wsub)]              # [wsub, W, ct]
+            t = jnp.transpose(t, (1, 0, 2))                # [W, wsub, ct]
+            t = _ldot(awu_ref, t)                          # [W2, wsub, ct]
             # weak-typed Python scalars keep the carry dtype
             t = (jnp.maximum(t, 0.0) + jnp.minimum(t, 0.0) * slope) * gain
             if clamp is not None:
                 t = jnp.clip(t, -clamp, clamp)
-            t = _ldot(awd_ref, t)                          # [Wo, s, ct]
-            t3_ref[s0:s0 + s] = jnp.transpose(t, (1, 0, 2))
-        t = _ldot(adn_ref, t3_ref[:])            # [ho_len, Wo, ct]
+            t = _ldot(awd_ref, t)                          # [Wo, wsub, ct]
+            t3_ref[pl.ds(i * wsub, wsub)] = jnp.transpose(t, (1, 0, 2))
+            return 0
+
+        jax.lax.fori_loop(0, n_sub, wstage, 0, unroll=False)
+        t = _ldot(adn_ref, t3_ref[:plan.h2_len])  # [ho_len, Wo, ct]
         o_ref[0] = t.astype(out_dtype)
 
     grid = (batch, K, plan.n_chunks)
@@ -308,7 +337,8 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
             out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, hband, W, ct), carry),
-            pltpu.VMEM((plan.h2_len, plan.Wo, ct), carry),
+            pltpu.VMEM((h2_pad, W, ct), carry),
+            pltpu.VMEM((h2_pad, plan.Wo, ct), carry),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -322,10 +352,17 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
         x = x.astype(carry)
         if plan.p_top or plan.p_bot:
             x = jnp.pad(x, [(0, 0), (plan.p_top, plan.p_bot), (0, 0), (0, 0)])
+        if plan.W_pad != W_:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, plan.W_pad - W_), (0, 0)])
         if plan.C_pad != C:
             x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, plan.C_pad - C)])
             bias = jnp.pad(bias, [(0, plan.C_pad - C)])
-        x = x.reshape(B, x.shape[1], W_, K, ct)
+        # [B, Hp, W_pad, K, ct] -> [B, K, Hp, W_pad, ct]: channel tiles become
+        # a leading dim so the per-(b, k) row-band DMA slices only untiled
+        # leading dims (full, tile-aligned W_pad and ct)
+        x = jnp.transpose(
+            x.reshape(B, x.shape[1], plan.W_pad, K, ct), (0, 3, 1, 2, 4)
+        )
         # operators ship in the carry dtype (the matmul path also casts its
         # dense operators to the compute dtype before the MXU)
         out = call(x, bias.astype(jnp.float32)[None],

@@ -39,6 +39,16 @@ from image_compression_2_tpu.parallel import create_mesh, shard_batch
 from image_compression_2_tpu.train import build_stage1
 
 mesh = create_mesh(n_data=8)
+
+# Tiny collective FIRST: initializes the gloo clique for the full 8-device
+# mesh while both processes are within seconds of each other.  The gloo
+# rendezvous has a fixed 30s timeout, and the train-step compile below can
+# skew the two processes past it on a loaded single-core box.
+warm = shard_batch(np.ones([4, 8], np.float32), mesh)  # local half -> global 8
+with mesh:
+    total = float(jax.jit(jnp.sum)(warm))
+assert total == 64.0, total
+
 res = 32
 gen_cfg = GeneratorConfig.tiny(img_resolution=res)
 enc_cfg = EncoderConfig.tiny(img_resolution=res, w_dim=gen_cfg.w_dim,

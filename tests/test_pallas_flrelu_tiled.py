@@ -114,7 +114,7 @@ def test_auto_mode_consults_measured_policy(monkeypatch, tmp_path):
     H = W = 20
     C = 128
     pad = (9, 8, 9, 8)
-    key = fp.geometry_key(H, W, C, 2, 2, 12, 12, pad)
+    key = fp.geometry_key(1, H, W, C, 2, 2, 12, 12, pad)
     pfile = tmp_path / "policy.json"
     pfile.write_text(json.dumps({"winners": {key: "tiled"}}))
     monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))

@@ -95,7 +95,7 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
         if times:
             win = min(times, key=times.get)
             row += f"   {win}"
-            key = geometry_key(H, H, C, spec.up_factor, spec.down_factor,
+            key = geometry_key(batch, H, H, C, spec.up_factor, spec.down_factor,
                                spec.up_taps, spec.down_taps,
                                _parse_padding(spec.padding))
             winners[key] = win
