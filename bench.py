@@ -49,8 +49,9 @@ def bench_tpu(batch: int = BATCH, iters: int = 10, res: int = RES):
     )
 
     def roundtrip(x):
-        wq = comp.compress(x, quantization_bits=8)
-        return comp.decompress(wq)
+        # fused single-dispatch transcode (encode -> quantize -> synthesis
+        # in ONE jitted program; the product API for on-device roundtrips)
+        return comp.roundtrip(x, quantization_bits=8)
 
     # NOTE: on the experimental 'axon' relay backend, block_until_ready()
     # acknowledges before device completion; a host fetch is the only true

@@ -123,7 +123,7 @@ def cmd_train(args):
         train_samples=args.train_samples, dataset_path=args.dataset,
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
         seed=args.seed, truncation_psi=args.truncation_psi,
-        w_weight=args.w_weight,
+        w_weight=args.w_weight, lr_decay=args.lr_decay,
     )
 
 
@@ -146,7 +146,7 @@ def cmd_train_gumbel(args):
         train_samples=args.train_samples, dataset_path=args.dataset,
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
         seed=args.seed, truncation_psi=args.truncation_psi,
-        w_weight=args.w_weight,
+        w_weight=args.w_weight, lr_decay=args.lr_decay,
     )
 
 
@@ -400,6 +400,8 @@ def main(argv=None):
     p.add_argument("--truncation-psi", type=float, default=1.0,
                    help="synthetic-data truncation (psi<1 = more natural "
                         "statistics, easier to invert)")
+    p.add_argument("--lr-decay", action="store_true",
+                   help="cosine-decay the lr to 10%% over the run")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-gumbel", help="stage-2 Gumbel training")
@@ -430,6 +432,8 @@ def main(argv=None):
     p.add_argument("--truncation-psi", type=float, default=1.0,
                    help="synthetic-data truncation (psi<1 = more natural "
                         "statistics, easier to invert)")
+    p.add_argument("--lr-decay", action="store_true",
+                   help="cosine-decay the lr to 10%% over the run")
     p.set_defaults(fn=cmd_train_gumbel)
 
     p = sub.add_parser("compress", help="compress an image file")

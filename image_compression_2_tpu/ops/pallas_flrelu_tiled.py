@@ -50,7 +50,26 @@ from .upfirdn2d import Padding, _parse_padding
 from .upfirdn_matmul import fir_matrix
 
 _VMEM_BUDGET = 13 * 1024 * 1024
-_W_SUB = 8  # oversampled rows processed per W-stage sub-slice
+
+
+def _channel_tiles(C_pad: int):
+    """Candidate channel tiles, preferred first.  One whole-channel tile
+    (when the padded channel dim fits 512 lanes) makes K == 1, turning the
+    [B, Hp, W, K, ct] -> [B, K, Hp, W, ct] input shuffle into a free reshape
+    instead of an HBM-pass transpose; 128 is the fallback when the wider
+    working set does not fit VMEM."""
+    if C_pad <= 512 and C_pad != 128:
+        return (C_pad, 128)
+    return (128,)
+
+
+def _w_subs(h2_len: int, ct: int):
+    """Candidate oversampled-rows-per-W-stage-sub-slice, preferred first:
+    dot N = wsub*ct ~ 4096 amortises MXU weight loads; 8 (one sublane tile)
+    is the smallest fallback.  Kept a multiple of 8 so the [W, wsub, ct]
+    transposes stay sublane-tile aligned."""
+    target = max(8, min(h2_len, 4096 // ct) // 8 * 8)
+    return (target, 8) if target != 8 else (8,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +93,7 @@ class _Plan:
     Wo: int
     ho_len: int       # output rows per chunk
     h2_len: int       # oversampled rows needed per chunk
+    wsub: int         # oversampled rows per W-stage sub-slice
     hband: int        # input rows needed per chunk
     in_stride: int    # input-row stride between chunks (in padded coords)
     n_chunks: int
@@ -124,43 +144,46 @@ def plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding: Padding,
     H2, W2, Ho, Wo = _geometry(H, W, up, down, pad, fu_taps, fd_taps)
     if min(H2, W2, Ho, Wo) <= 0:
         return None
-    ct = 128
-    C_pad = -(-C // ct) * ct
+    C_pad = -(-C // 128) * 128
     W_pad = -(-W // 16) * 16  # 16 covers fp32 (8,128) and packed bf16 tiles
     px0, px1, py0, py1 = pad
-    for ho_len in _chunk_candidates(Ho, down, up):
-        h2_len = (ho_len - 1) * down + fd_taps
-        i_lo0, i_hi0 = _band(py0, up, fu_taps, 0, h2_len - 1)
-        hband = i_hi0 - i_lo0 + 1
-        n_chunks = -(-Ho // ho_len)  # output row-padded to whole chunks
-        wsub = min(_W_SUB, h2_len)
-        # VMEM working set: the oversampled-width stage runs in row
-        # sub-slices of wsub, so only [W2, wsub, ct] ever materialises
-        h2_pad = -(-h2_len // wsub) * wsub  # t1/t3 row-padded to whole wsub
-        work = (
-            2 * hband * W_pad * ct * carry_bytes      # DMA slots
-            + h2_pad * W_pad * ct * carry_bytes       # t1 scratch
-            + 2 * wsub * W_pad * ct * carry_bytes     # slice + transpose
-            + 3 * W2 * wsub * ct * carry_bytes        # t2 pre/act/post
-            + 2 * Wo * wsub * ct * carry_bytes        # t3 slice + transpose
-            + h2_pad * Wo * ct * carry_bytes          # t3 scratch
-            + 2 * ho_len * Wo * ct * carry_bytes      # output double buffer
-            + carry_bytes * (h2_len * hband + W2 * W_pad
-                             + Wo * W2 + ho_len * h2_len)  # operators
-        )
-        if work > _VMEM_BUDGET:
-            continue
-        m_last = (n_chunks - 1) * ho_len * down + h2_len - 1
-        _, i_hi_last = _band(py0, up, fu_taps, 0, m_last)
-        p_top = max(0, -i_lo0)
-        p_bot = max(0, i_hi_last - (H - 1))
-        return _Plan(
-            H=H, W=W, W_pad=W_pad, C=C, C_pad=C_pad, ct=ct, up=up, down=down,
-            H2=H2, W2=W2, Ho=Ho, Wo=Wo,
-            ho_len=ho_len, h2_len=h2_len, hband=hband,
-            in_stride=(ho_len * down) // up, n_chunks=n_chunks,
-            p_top=p_top, p_bot=p_bot, pad=pad,
-        )
+    # Preference order: whole-channel tile (K=1, free input reshape) beats
+    # any chunk length, then largest chunk, then the wide W-stage sub-slice.
+    for ct in _channel_tiles(C_pad):
+        for ho_len in _chunk_candidates(Ho, down, up):
+            h2_len = (ho_len - 1) * down + fd_taps
+            i_lo0, i_hi0 = _band(py0, up, fu_taps, 0, h2_len - 1)
+            hband = i_hi0 - i_lo0 + 1
+            n_chunks = -(-Ho // ho_len)  # output row-padded to whole chunks
+            for wsub in _w_subs(h2_len, ct):
+                # VMEM working set: the oversampled-width stage runs in row
+                # sub-slices of wsub, so only [W2, wsub, ct] ever
+                # materialises
+                h2_pad = -(-h2_len // wsub) * wsub  # t1/t3 padded to wsub
+                work = (
+                    2 * hband * W_pad * ct * carry_bytes   # DMA slots
+                    + h2_pad * W_pad * ct * carry_bytes    # t1 scratch
+                    + 2 * wsub * W_pad * ct * carry_bytes  # slice+transpose
+                    + 3 * W2 * wsub * ct * carry_bytes     # t2 pre/act/post
+                    + 2 * Wo * wsub * ct * carry_bytes     # t3 slice+transp.
+                    + h2_pad * Wo * ct * carry_bytes       # t3 scratch
+                    + 2 * ho_len * Wo * ct * carry_bytes   # output dbl buf
+                    + carry_bytes * (h2_len * hband + W2 * W_pad
+                                     + Wo * W2 + ho_len * h2_len)  # operators
+                )
+                if work > _VMEM_BUDGET:
+                    continue
+                m_last = (n_chunks - 1) * ho_len * down + h2_len - 1
+                _, i_hi_last = _band(py0, up, fu_taps, 0, m_last)
+                p_top = max(0, -i_lo0)
+                p_bot = max(0, i_hi_last - (H - 1))
+                return _Plan(
+                    H=H, W=W, W_pad=W_pad, C=C, C_pad=C_pad, ct=ct,
+                    up=up, down=down, H2=H2, W2=W2, Ho=Ho, Wo=Wo,
+                    ho_len=ho_len, h2_len=h2_len, wsub=wsub, hband=hband,
+                    in_stride=(ho_len * down) // up, n_chunks=n_chunks,
+                    p_top=p_top, p_bot=p_bot, pad=pad,
+                )
     return None
 
 
@@ -230,7 +253,7 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
     carry = jnp.float32 if out_dtype == jnp.float32 else jnp.bfloat16
     ct, hband, W = plan.ct, plan.hband, plan.W_pad
     K = plan.C_pad // ct
-    wsub = min(_W_SUB, plan.h2_len)
+    wsub = plan.wsub
 
     def _ldot(m_ref, t):
         return jax.lax.dot_general(

@@ -36,9 +36,14 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999):
+def make_optimizer(lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999,
+                   decay_steps: int = 0):
     """Adam with the reference's hyperparameters
-    (stylegan3_hvae_full.py:484)."""
+    (stylegan3_hvae_full.py:484).  ``decay_steps`` > 0 adds a cosine decay
+    of the learning rate to 10% over that many steps (a quality knob the
+    constant-lr reference lacks)."""
+    if decay_steps > 0:
+        lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.1)
     return optax.adam(lr, b1=b1, b2=b2)
 
 
@@ -203,6 +208,7 @@ def build_stage1(
     seed: int = 0,
     lpips_image_size: Optional[int] = None,
     remat: bool = False,
+    lr_decay_steps: int = 0,
 ) -> Stage1Setup:
     """Construct encoder/generator/LPIPS, optimizer and the jitted DP step."""
     from .lpips import create_lpips
@@ -226,7 +232,7 @@ def build_stage1(
             seed=seed,
             image_size=lpips_image_size or encoder_cfg.img_resolution,
         )
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(lr, decay_steps=lr_decay_steps)
     state = init_train_state(enc_vars["params"], optimizer)
     w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
     train_step = make_train_step(

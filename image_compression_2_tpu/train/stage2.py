@@ -140,6 +140,7 @@ def build_stage2(
     precision: Precision = Precision(),
     mesh: Optional[Mesh] = None,
     seed: int = 0,
+    lr_decay_steps: int = 0,
 ):
     from .lpips import create_lpips
     from .stage1 import Stage1Setup
@@ -175,7 +176,7 @@ def build_stage2(
             seed=seed, image_size=encoder_cfg.img_resolution
         )
 
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(lr, decay_steps=lr_decay_steps)
     params = {"encoder": encoder_params, "discretization": disc_vars["params"]}
     state = init_train_state(params, optimizer)
     w_avg = gen_vars["buffers"]["mapping"]["w_avg"]

@@ -252,6 +252,7 @@ def train_hvae_encoder(
     remat: bool = False,
     truncation_psi: float = 1.0,
     w_weight: float = 0.0,
+    lr_decay: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062).
 
@@ -268,10 +269,16 @@ def train_hvae_encoder(
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
                           kl=kl_weight, w_l2=w_weight)
+    # cosine decay horizon: synthetic data has a known epoch length; folder
+    # datasets fall back to the same formula with train_samples as estimate
+    decay_steps = (
+        num_epochs * -(-train_samples // batch_size) if lr_decay else 0
+    )
     setup = build_stage1(
         encoder_cfg, generator_cfg, gen_vars=gen_vars, lr=lr, weights=weights,
         use_lpips=use_lpips, precision=precision, mesh=mesh, seed=seed,
         lpips_image_size=training_resolution, remat=remat,
+        lr_decay_steps=decay_steps,
     )
 
     start_epoch = 0
@@ -331,6 +338,7 @@ def train_gumbel_hvae(
     num_prefetch: int = 2,
     truncation_psi: float = 1.0,
     w_weight: float = 0.0,
+    lr_decay: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
@@ -364,6 +372,9 @@ def train_gumbel_hvae(
         encoder_params=encoder_params, n_embeddings=n_embeddings,
         temperature=temperature, lr=lr, weights=weights, use_lpips=use_lpips,
         precision=precision, mesh=mesh, seed=seed,
+        lr_decay_steps=(
+            num_epochs * -(-train_samples // batch_size) if lr_decay else 0
+        ),
     )
     if resume_state is not None:
         setup.state, _ = load_checkpoint(resume_from, target=setup.state)

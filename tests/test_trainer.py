@@ -93,3 +93,26 @@ def test_stage2_trainer_warm_start_from_stage1(tmp_path):
         use_lpips=False, seed=0, resume_from=final, temp_anneal_rate=0.01,
     )
     assert len(history3["loss"]) == 1
+
+
+def test_cosine_lr_decay_schedule():
+    """make_optimizer(decay_steps>0) shrinks the effective step size ~10x by
+    the end of the horizon (cosine to alpha=0.1)."""
+    import jax.numpy as jnp
+    import optax
+
+    from image_compression_2_tpu.train.stage1 import make_optimizer
+
+    params = {"w": jnp.ones([4])}
+    grads = {"w": jnp.ones([4])}
+    tx = make_optimizer(lr=1e-3, decay_steps=100)
+    state = tx.init(params)
+    first = last = None
+    for step in range(100):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        size = float(jnp.abs(updates["w"]).mean())
+        if step == 0:
+            first = size
+        last = size
+    assert last < first * 0.2, (first, last)

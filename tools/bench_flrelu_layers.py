@@ -82,12 +82,30 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
                     row += f" {'WRONG':>10s}"
                     print(f"  {m} mismatch rel={err:.3g}", file=sys.stderr)
                     continue
-            xs = [x + jnp.asarray(i * 1e-6, dtype) for i in range(iters)]
+            # ONE dispatch + ONE 4-byte fetch: a jitted fori_loop runs the
+            # op `iters` times and reduces to a scalar.  Per-call dispatch
+            # and (worse) fetching the full output tensor over the relay
+            # would otherwise dominate every layer's measurement.
+            def many(x, b, fn=fn):
+                def body(i, acc):
+                    o = fn(x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype),
+                           b)
+                    # single-element index, NOT o.ravel()[0]: ravel of a
+                    # large tiled NHWC tensor is a full relayout (seconds
+                    # for the 276^2 layers) and would dominate the timing
+                    return acc + o[0, 0, 0, 0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            timer = jax.jit(many)
+            try:
+                float(timer(x, b))  # compile + warm
+            except Exception as e:
+                row += f" {'FAIL':>10s}"
+                print(f"  {m} loop failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
             t0 = time.perf_counter()
-            o = None
-            for i in range(iters):
-                o = fn(xs[i], b)
-            _ = np.asarray(o)
+            _ = float(timer(x, b))
             dt = (time.perf_counter() - t0) / iters * 1000
             times[m] = dt
             totals[m] += dt
