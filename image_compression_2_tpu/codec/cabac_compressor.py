@@ -74,6 +74,11 @@ class CABACCompressor(GumbelCompressor):
         """Image batch -> (payload bytes, metadata)."""
         if use_priors is None:
             use_priors = self.priors is not None
+        elif use_priors and self.priors is None:
+            raise ValueError(
+                "use_priors=True but no prior table is loaded — call "
+                "calibrate(images) or load_priors(file) first"
+            )
         codes = np.asarray(super().compress(x), np.int32)
         orig_size = codes.size * np.log2(self.n_embeddings) / 8  # raw index B
         stream_lengths = None
@@ -104,7 +109,10 @@ class CABACCompressor(GumbelCompressor):
         if stream_lengths is not None:
             metadata["stream_lengths"] = stream_lengths
         metadata |= {
-            "codec": "ic2t-cabac-v1" if use_cabac else self._raw_codec_name(),
+            # v2 = B independent per-image streams (stream_lengths in the
+            # metadata); v1 was one monolithic stream — an incompatible
+            # layout must not reuse the old identifier
+            "codec": "ic2t-cabac-v2" if use_cabac else self._raw_codec_name(),
             "shape": list(codes.shape),
             "n_embeddings": int(self.n_embeddings),
             "use_cabac": bool(use_cabac),

@@ -12,6 +12,10 @@ from .rangecoder import RangeDecoder, RangeEncoder
 
 def encode(data, n_symbols: int, priors=None) -> bytes:
     """CABAC-encode (native C++ when available, else the Python spec impl)."""
+    # validate priors on BOTH paths: the Python impl checks internally, but
+    # the native coder would silently produce a desynced stream from a
+    # malformed table (discovered only at the consumer's decode)
+    check_priors(data.shape, n_symbols, priors)
     out = encode_native(data, n_symbols, priors)
     return out if out is not None else cabac_encode(data, n_symbols, priors)
 
@@ -57,17 +61,25 @@ def decode_batched(payload: bytes, lengths, shape, n_symbols: int,
 
     B, T, D = shape
     if lengths is None:
-        assert image_index is None, (
-            "single-stream payloads cannot be decoded per-image"
-        )
+        if image_index is not None:
+            raise ValueError(
+                "single-stream payloads cannot be decoded per-image")
         return decode(payload, shape, n_symbols, priors)
-    assert len(lengths) == B and sum(lengths) == len(payload), (
-        lengths, B, len(payload)
-    )
+    # lengths come from untrusted file metadata — raise loudly (asserts are
+    # stripped under -O and a wrong slice decodes into silent garbage)
+    if len(lengths) != B or sum(lengths) != len(payload):
+        raise ValueError(
+            f"corrupt stream_lengths: {len(lengths)} streams summing to "
+            f"{sum(lengths)} B for a batch of {B} and a "
+            f"{len(payload)}-byte payload"
+        )
     offsets = [0]
     for n in lengths:
         offsets.append(offsets[-1] + n)
     if image_index is not None:
+        if not 0 <= image_index < B:
+            raise ValueError(f"image_index {image_index} out of range for "
+                             f"batch of {B}")
         part = payload[offsets[image_index]:offsets[image_index + 1]]
         return decode(part, (1, T, D), n_symbols, priors)
     if B == 1:

@@ -145,12 +145,18 @@ class BatchLoader:
             return False
 
         def producer():
-            for s in starts:
-                if stop.is_set() or not put(
-                    self._make_batch(idx[s:s + self.batch_size])
-                ):
-                    return
-            put(None)
+            # An exception from _make_batch must reach the consumer: a dead
+            # producer with nothing queued would leave q.get() blocked
+            # forever.  Ship the exception itself through the queue.
+            try:
+                for s in starts:
+                    if stop.is_set() or not put(
+                        self._make_batch(idx[s:s + self.batch_size])
+                    ):
+                        return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -159,6 +165,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -58,14 +58,21 @@ def filtered_lrelu(
     )
     tu = 1 if fu is None else len(np.asarray(fu))
     td = 1 if fd is None else len(np.asarray(fd))
-    if mode == "auto" and separable and (up > 1 or down > 1):
+    auto = mode == "auto"
+    if auto and separable and (up > 1 or down > 1):
         from .flrelu_policy import lookup
 
         measured = lookup(x.shape[0], x.shape[1], x.shape[2], x.shape[3],
                           up, down, tu, td, (px0, px1, py0, py1))
         if measured is not None:
             mode = measured
-    if mode == "tiled" and separable and (up > 1 or down > 1):
+    if mode == "tiled":
+        if not (separable and (up > 1 or down > 1)):
+            # the tiled kernel is defined only for separable resampling —
+            # an explicit request must not silently run a different path
+            # (it would also mislabel benchmark/policy timings)
+            raise ValueError(
+                "mode='tiled' requires separable 1-D filters and up/down > 1")
         from .pallas_flrelu_tiled import (
             filtered_lrelu_pallas_tiled,
             fits_tiled,
@@ -77,7 +84,9 @@ def filtered_lrelu(
                 x, fu, fd, b, up=up, down=down, padding=padding,
                 gain=gain, slope=slope, clamp=clamp,
             )
-        raise ValueError("no legal tiling for this geometry")
+        if not auto:
+            raise ValueError("no legal tiling for this geometry")
+        mode = "matmul"  # stale policy entry: degrade, don't crash
     use_mm = mode == "matmul" or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )

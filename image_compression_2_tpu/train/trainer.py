@@ -226,6 +226,20 @@ def _run_training(
     return state, logger.history
 
 
+def _decay_steps(lr_decay: bool, num_epochs: int, train_samples: int,
+                 batch_size: int, dataset_path: Optional[str],
+                 resolution: int) -> int:
+    """Cosine-decay horizon = total optimizer steps.  Synthetic data has a
+    known epoch length (train_samples); folder datasets are scanned for
+    their real length (file listing only — cheap)."""
+    if not lr_decay:
+        return 0
+    n = train_samples
+    if dataset_path is not None:
+        n = len(ImageFolderDataset(dataset_path, resolution=resolution))
+    return num_epochs * -(-n // batch_size)
+
+
 def train_hvae_encoder(
     output_dir: str = "./output",
     training_resolution: int = 256,
@@ -269,11 +283,9 @@ def train_hvae_encoder(
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
                           kl=kl_weight, w_l2=w_weight)
-    # cosine decay horizon: synthetic data has a known epoch length; folder
-    # datasets fall back to the same formula with train_samples as estimate
-    decay_steps = (
-        num_epochs * -(-train_samples // batch_size) if lr_decay else 0
-    )
+    decay_steps = _decay_steps(lr_decay, num_epochs, train_samples,
+                               batch_size, dataset_path,
+                               training_resolution)
     setup = build_stage1(
         encoder_cfg, generator_cfg, gen_vars=gen_vars, lr=lr, weights=weights,
         use_lpips=use_lpips, precision=precision, mesh=mesh, seed=seed,
@@ -372,9 +384,9 @@ def train_gumbel_hvae(
         encoder_params=encoder_params, n_embeddings=n_embeddings,
         temperature=temperature, lr=lr, weights=weights, use_lpips=use_lpips,
         precision=precision, mesh=mesh, seed=seed,
-        lr_decay_steps=(
-            num_epochs * -(-train_samples // batch_size) if lr_decay else 0
-        ),
+        lr_decay_steps=_decay_steps(lr_decay, num_epochs, train_samples,
+                                    batch_size, dataset_path,
+                                    training_resolution),
     )
     if resume_state is not None:
         setup.state, _ = load_checkpoint(resume_from, target=setup.state)

@@ -168,7 +168,7 @@ def test_cabac_codec_end_to_end(tmp_path):
     # untrained encoders emit ~uniform codes; the codec may legitimately pick
     # the packed-raw fallback, but metadata must be self-consistent
     if meta["use_cabac"]:
-        assert meta["codec"] == "ic2t-cabac-v1"
+        assert meta["codec"] == "ic2t-cabac-v2"
     else:
         assert meta["codec"] == "raw-u8"
         assert meta["comp_size"] == np.prod(meta["shape"])  # 1 B/symbol

@@ -56,9 +56,12 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
         times = {}
         ref_out = None
         for m in modes:
-            if m == "tiled" and plan_tiled(
+            if m == "tiled" and (
+                np.ndim(fu) > 1 or np.ndim(fd) > 1  # radial = non-separable
+                or plan_tiled(
                     H, H, C, spec.up_factor, spec.down_factor,
-                    spec.up_taps, spec.down_taps, spec.padding) is None:
+                    spec.up_taps, spec.down_taps, spec.padding) is None
+            ):
                 row += f" {'n/a':>10s}"
                 continue
             fn = jax.jit(lambda x, b, m=m: filtered_lrelu(

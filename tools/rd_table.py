@@ -114,10 +114,17 @@ def main():
         rows[f"uniform-{bits}bit"] = metrics(x_eval, recon, comp)
         print(f"uniform-{bits}bit: {rows[f'uniform-{bits}bit']}", flush=True)
 
-    alloc = (12, 12, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6, 4, 4, 4, 4)
+    # bit-allocation guidance from the reference guide (high bits for the
+    # coarse W layers), sized to the actual num_ws of this config
+    from image_compression_2_tpu.quant.uniform import per_layer_comp_size_bytes
+
+    base = (12, 12, 10, 10, 8, 8, 8, 8, 6, 6, 6, 6, 4, 4, 4, 4)
+    n_ws = gen_cfg.num_ws
+    alloc = tuple(base[min(i * len(base) // n_ws, len(base) - 1)]
+                  for i in range(n_ws))
     w = uni.compress(x_eval, quantization_bits=alloc)
     recon = uni.decompress(w)
-    comp = sum(alloc) * gen_cfg.w_dim / 8
+    comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
 
@@ -166,8 +173,23 @@ def main():
         f"| {m['ratio']}:1 | {m['bpp']} |"
         for name, m in rows.items()
     ]
+    footer = (
+        "\n\n## Reference published rows (FFHQ 256², pretrained generator —"
+        " /root/reference/README.md:376-388)\n\n"
+        "Not directly comparable: the pretrained `stylegan3-t-ffhq` pickle"
+        " cannot be downloaded in this environment, so the rows above use a"
+        " random-init generator + synthetic data (the framework-side gap is"
+        " the encoder/generator weights, not the pipeline).\n\n"
+        "| method | PSNR (dB) | MS-SSIM | LPIPS | ratio |\n"
+        "|---|---|---|---|---|\n"
+        "| StyleGAN3-HVAE 8-bit | 34.23 | 0.972 | 0.039 | ~50:1 |\n"
+        "| StyleGAN3-HVAE 4-bit | 32.66 | 0.958 | 0.065 | ~100:1 |\n"
+        "| + Gumbel-Softmax 8-bit | 34.86 | 0.979 | 0.035 | ~50:1 |\n"
+        "| + CABAC 8-bit | 34.86 | 0.979 | 0.035 | ~80:1 |\n"
+        "| + CABAC 4-bit | 33.12 | 0.967 | 0.052 | ~150:1 |\n"
+    )
     with open(args.out, "w") as f:
-        f.write(header + "\n".join(lines) + "\n")
+        f.write(header + "\n".join(lines) + footer)
     with open(args.out.replace(".md", ".json"), "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {args.out}")
