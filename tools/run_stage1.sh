@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 
 python -m image_compression_2_tpu.cli train \
   --output runs/r2stage1 --resolution 256 --generator-resolution 256 \
-  --max-resolution 256 --batch-size 8 --epochs 150 --train-samples 1024 \
-  --truncation-psi 0.7 --w-weight 1.0 --lr-decay --bf16 --save-every 50 \
+  --max-resolution 256 --batch-size 8 --epochs 120 --train-samples 1024 \
+  --truncation-psi 0.7 --w-weight 0.1 --lr-decay --bf16 --save-every 50 \
   --seed 42
 echo "stage1 done"
