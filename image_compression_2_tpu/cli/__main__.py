@@ -124,6 +124,8 @@ def cmd_train(args):
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
         seed=args.seed, truncation_psi=args.truncation_psi,
         w_weight=args.w_weight, lr_decay=args.lr_decay,
+        val_samples=args.val_samples, pool_grids=args.pool_grids,
+        hidden_dims=args.hidden_dims,
     )
 
 
@@ -147,7 +149,24 @@ def cmd_train_gumbel(args):
         val_dataset_path=args.val_dataset, generator_cfg=gen_cfg,
         seed=args.seed, truncation_psi=args.truncation_psi,
         w_weight=args.w_weight, lr_decay=args.lr_decay,
+        val_samples=args.val_samples, pool_grids=args.pool_grids,
+        hidden_dims=args.hidden_dims,
     )
+
+
+def _parse_psi(spec: str):
+    """'0.7' -> 0.7; '0.5,0.7,1.0' -> mixed-psi list."""
+    if "," in spec:
+        return [float(p) for p in spec.split(",")]
+    return float(spec)
+
+
+def _parse_grid(spec: str):
+    """'1,2,4' -> (1, 2, 4) per-head (global, medium, fine) tuple."""
+    parts = tuple(int(g) for g in spec.split(","))
+    if len(parts) != 3:
+        raise ValueError(f"expected 3 comma-separated ints, got {spec!r}")
+    return parts
 
 
 def _parse_bits(spec: str):
@@ -397,11 +416,18 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--val-dataset", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--truncation-psi", type=float, default=1.0,
-                   help="synthetic-data truncation (psi<1 = more natural "
-                        "statistics, easier to invert)")
+    p.add_argument("--truncation-psi", type=_parse_psi, default=1.0,
+                   help="synthetic-data truncation; a comma list (e.g. "
+                        "'0.5,0.7,1.0') mixes psis across the dataset")
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the lr to 10%% over the run")
+    p.add_argument("--val-samples", type=int, default=0,
+                   help="held-out synthetic validation samples per epoch")
+    p.add_argument("--pool-grids", type=_parse_grid, default=None,
+                   help="projector pool grids 'global,medium,fine' (e.g. "
+                        "'1,2,4'); default 1,1,1 = reference global pooling")
+    p.add_argument("--hidden-dims", type=_parse_grid, default=None,
+                   help="projector MLP widths 'global,medium,fine'")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-gumbel", help="stage-2 Gumbel training")
@@ -429,11 +455,17 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--val-dataset", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--truncation-psi", type=float, default=1.0,
-                   help="synthetic-data truncation (psi<1 = more natural "
-                        "statistics, easier to invert)")
+    p.add_argument("--truncation-psi", type=_parse_psi, default=1.0,
+                   help="synthetic-data truncation; a comma list (e.g. "
+                        "'0.5,0.7,1.0') mixes psis across the dataset")
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the lr to 10%% over the run")
+    p.add_argument("--val-samples", type=int, default=0,
+                   help="held-out synthetic validation samples per epoch")
+    p.add_argument("--pool-grids", type=_parse_grid, default=None,
+                   help="projector pool grids 'global,medium,fine'")
+    p.add_argument("--hidden-dims", type=_parse_grid, default=None,
+                   help="projector MLP widths 'global,medium,fine'")
     p.set_defaults(fn=cmd_train_gumbel)
 
     p = sub.add_parser("compress", help="compress an image file")

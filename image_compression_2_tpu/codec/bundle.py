@@ -28,8 +28,13 @@ def _cfg_to_dict(cfg) -> dict:
 
 def _cfg_from_dict(cls, d: dict):
     d = dict(d)
-    if "block_split" in d:
-        d["block_split"] = tuple(d["block_split"])
+    # JSON round-trips tuples as lists; restore the tuple-typed fields
+    for k in ("block_split", "pool_grids", "hidden_dims"):
+        if d.get(k) is not None:
+            d[k] = tuple(d[k])
+    # forward compatibility: drop keys this build's config doesn't know
+    fields = {f.name for f in dataclasses.fields(cls)}
+    d = {k: v for k, v in d.items() if k in fields}
     return cls(**d)
 
 
@@ -103,6 +108,9 @@ def codec_from_training(
         w_dim=cfg_meta.get("w_dim", generator_cfg.w_dim),
         num_ws=cfg_meta.get("num_ws", generator_cfg.num_ws),
         block_split=tuple(cfg_meta.get("block_split", (5, 12))),
+        pool_grids=tuple(cfg_meta.get("pool_grids", (1, 1, 1))),
+        hidden_dims=(tuple(cfg_meta["hidden_dims"])
+                     if cfg_meta.get("hidden_dims") else None),
     )
     if gen_vars is None:
         # derive the generator key EXACTLY like build_stage1/build_stage2

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import cached_property
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -262,6 +262,14 @@ class EncoderConfig:
     hidden_dim: int = 256  # projector MLP width
     fine_block: int = 1
     medium_block: int = 4
+    # Spatially-aware projector heads (round-3 quality lever): per-head
+    # (global, medium, fine) adaptive-average-pool grid sizes.  (1, 1, 1)
+    # reproduces the reference's globally-pooled heads
+    # (/root/reference/stylegan3_hvae_full.py:194-247); G > 1 pools the tap
+    # to a GxG spatial grid before the projector MLP.
+    pool_grids: Tuple[int, int, int] = (1, 1, 1)
+    # Optional per-head MLP widths; None = hidden_dim for all three.
+    hidden_dims: "Optional[Tuple[int, int, int]]" = None
 
     @property
     def num_blocks(self) -> int:
@@ -275,6 +283,10 @@ class EncoderConfig:
             min(self.channel_max, self.channel_base // (2 ** (n - res)))
             for res in range(n + 1)
         )
+
+    @property
+    def resolved_hidden_dims(self) -> Tuple[int, int, int]:
+        return self.hidden_dims or (self.hidden_dim,) * 3
 
     @property
     def num_ws_global(self) -> int:

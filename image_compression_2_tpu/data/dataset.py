@@ -179,21 +179,40 @@ def generate_synthetic_dataset(
     batch_size: int = 8,
     resolution: Optional[int] = None,
     seed: int = 42,
-    truncation_psi: float = 1.0,
+    truncation_psi=1.0,
 ):
     """Sample (images, ws) from the frozen generator — the reference's
     synthetic-data path (stylegan3_hvae_full.py:536-599; seed 42, mapping →
-    synthesis → resize to training resolution)."""
+    synthesis → resize to training resolution).
+
+    ``truncation_psi`` may be a float or a sequence of floats; a sequence
+    splits ``num_samples`` evenly across the psis (remainder to the first),
+    mixing heavily-truncated (smooth, easy) and untruncated (diverse, hard)
+    samples — a data-diversity knob for generalisation."""
     import jax
     import jax.numpy as jnp
 
+    psis = (
+        tuple(truncation_psi)
+        if isinstance(truncation_psi, (tuple, list))
+        else (float(truncation_psi),)
+    )
     z_dim = generator.cfg.z_dim
     key = jax.random.PRNGKey(seed)
     z_all = jax.random.normal(key, [num_samples, z_dim])
 
+    # per-sample psi: even split across the list (remainder to the first)
+    counts = [num_samples // len(psis)] * len(psis)
+    counts[0] += num_samples - sum(counts)
+
     @jax.jit
-    def sample(z):
-        ws = generator.apply(gen_vars, z, truncation_psi, method="mapping")
+    def sample(z, psi):
+        # truncation as an explicit per-sample lerp toward w_avg so one
+        # jitted program serves every psi (psi is a traced [B] vector)
+        ws = generator.apply(gen_vars, z, 1.0, method="mapping")
+        w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
+        ws = w_avg[None, None, :] + psi[:, None, None] * (
+            ws - w_avg[None, None, :])
         img = generator.apply(gen_vars, ws, method="synthesis")
         if resolution is not None and img.shape[1] != resolution:
             img = jax.image.resize(
@@ -202,15 +221,20 @@ def generate_synthetic_dataset(
             )
         return img, ws
 
+    psi_per_sample = jnp.asarray(np.concatenate(
+        [np.full(c, p, np.float32) for c, p in zip(counts, psis)]
+    ))
     images, ws = [], []
     for i in range(0, num_samples, batch_size):
         z = z_all[i:i + batch_size]
+        psi = psi_per_sample[i:i + batch_size]
         if z.shape[0] < batch_size:  # pad to static shape, then trim
             pad = batch_size - z.shape[0]
-            img, w = sample(jnp.concatenate([z, z_all[:pad]], axis=0))
+            img, w = sample(jnp.concatenate([z, z_all[:pad]], axis=0),
+                            jnp.concatenate([psi, psi_per_sample[:pad]]))
             img, w = img[: z.shape[0]], w[: z.shape[0]]
         else:
-            img, w = sample(z)
+            img, w = sample(z, psi)
         images.append(np.asarray(img))
         ws.append(np.asarray(w))
     return SyntheticDataset(np.concatenate(images), np.concatenate(ws))

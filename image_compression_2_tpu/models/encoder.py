@@ -68,18 +68,36 @@ class VGGBlock(nn.Module):
 
 
 class HierarchyProjector(nn.Module):
-    """Global-pool -> MLP -> (mean, logvar) for a block of W-vectors."""
+    """Pool -> MLP -> (mean, logvar) for a block of W-vectors.
+
+    ``pool_grid`` = 1 reproduces the reference's globally-pooled head
+    (/root/reference/stylegan3_hvae_full.py:194-247: AdaptiveAvgPool2d(1)).
+    ``pool_grid`` = G > 1 pools to a GxG spatial grid instead and feeds the
+    flattened grid to the MLP — a config-gated generalisation that removes
+    the global-pool information bottleneck (the round-2 held-out quality
+    plateau was traced to it) while keeping the head a pure static-shape
+    MLP (one big MXU matmul; no dynamic shapes)."""
 
     w_dim: int
     num_ws: int
     hidden_dim: int = 256
+    pool_grid: int = 1
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, sample_key: Optional[jax.Array] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         batch = x.shape[0]
-        x = jnp.mean(x, axis=(1, 2))  # adaptive average pool to 1x1
+        h, w = x.shape[1], x.shape[2]
+        g = min(self.pool_grid, h, w)
+        if g <= 1:
+            x = jnp.mean(x, axis=(1, 2))  # adaptive average pool to 1x1
+        else:
+            # adaptive average pool to g x g; the VGG pyramid keeps spatial
+            # dims powers of two, so the grid divides evenly (asserted)
+            assert h % g == 0 and w % g == 0, (x.shape, g)
+            x = x.reshape(batch, g, h // g, g, w // g, x.shape[-1])
+            x = x.mean(axis=(2, 4)).reshape(batch, g * g * x.shape[-1])
         x = x.astype(jnp.float32)     # variational heads always fp32
         x = _lrelu(nn.Dense(self.hidden_dim, name="fc1")(x))
         p = nn.Dense(self.num_ws * self.w_dim * 2, name="fc2")(x)
@@ -134,14 +152,19 @@ class HVAEEncoder(nn.Module):
         keys = (
             jax.random.split(sample_key, 3) if sample_key is not None else (None,) * 3
         )
+        grids = cfg.pool_grids
+        hiddens = cfg.resolved_hidden_dims
         g_w, g_m, g_lv = HierarchyProjector(
-            cfg.w_dim, cfg.num_ws_global, cfg.hidden_dim, name="global_projector"
+            cfg.w_dim, cfg.num_ws_global, hiddens[0], grids[0],
+            name="global_projector"
         )(taps["global"], keys[0])
         m_w, m_m, m_lv = HierarchyProjector(
-            cfg.w_dim, cfg.num_ws_medium, cfg.hidden_dim, name="medium_projector"
+            cfg.w_dim, cfg.num_ws_medium, hiddens[1], grids[1],
+            name="medium_projector"
         )(taps["medium"], keys[1])
         f_w, f_m, f_lv = HierarchyProjector(
-            cfg.w_dim, cfg.num_ws_fine, cfg.hidden_dim, name="fine_projector"
+            cfg.w_dim, cfg.num_ws_fine, hiddens[2], grids[2],
+            name="fine_projector"
         )(taps["fine"], keys[2])
 
         w_plus = jnp.concatenate([g_w, m_w, f_w], axis=1)

@@ -121,14 +121,16 @@ def _setup_data(
     train_samples: int,
     seed: int,
     num_prefetch: int,
-    truncation_psi: float = 1.0,
+    truncation_psi=1.0,
+    val_samples: int = 0,
 ):
     if dataset_path is not None:
         train_ds = ImageFolderDataset(dataset_path, resolution=training_resolution)
     else:
         # truncation_psi < 1 pulls samples toward w_avg: smoother, more
         # natural-statistics images that are substantially easier to invert
-        # (the reference trains on psi=1 samples; this is a quality knob)
+        # (the reference trains on psi=1 samples; this is a quality knob).
+        # A psi LIST mixes truncation levels across the dataset.
         train_ds = generate_synthetic_dataset(
             setup.generator, setup.gen_vars, num_samples=train_samples,
             batch_size=max(batch_size, 4), resolution=training_resolution,
@@ -140,6 +142,16 @@ def _setup_data(
     if val_dataset_path is not None:
         val_ds = ImageFolderDataset(val_dataset_path,
                                     resolution=training_resolution)
+        val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
+                                 prefetch=num_prefetch)
+    elif val_samples > 0 and dataset_path is None:
+        # held-out synthetic validation: different seed stream than training,
+        # so per-epoch val metrics track generalisation, not memorisation
+        val_ds = generate_synthetic_dataset(
+            setup.generator, setup.gen_vars, num_samples=val_samples,
+            batch_size=max(batch_size, 4), resolution=training_resolution,
+            seed=seed + 99991, truncation_psi=truncation_psi,
+        )
         val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
                                  prefetch=num_prefetch)
     return train_ds, train_loader, val_loader
@@ -237,7 +249,9 @@ def _decay_steps(lr_decay: bool, num_epochs: int, train_samples: int,
     n = train_samples
     if dataset_path is not None:
         n = len(ImageFolderDataset(dataset_path, resolution=resolution))
-    return num_epochs * -(-n // batch_size)
+    # floor division: BatchLoader drops the remainder batch (drop_last=True),
+    # so the cosine horizon must match the actual steps per epoch
+    return num_epochs * max(1, n // batch_size)
 
 
 def train_hvae_encoder(
@@ -264,21 +278,27 @@ def train_hvae_encoder(
     seed: int = 42,
     num_prefetch: int = 2,
     remat: bool = False,
-    truncation_psi: float = 1.0,
+    truncation_psi=1.0,
     w_weight: float = 0.0,
     lr_decay: bool = False,
+    val_samples: int = 0,
+    pool_grids: Optional[Tuple[int, int, int]] = None,
+    hidden_dims: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[TrainState, Dict]:
     """Stage-1 trainer (flag surface mirrors stylegan3_hvae_full.py:1023-1062).
 
     ``w_weight`` > 0 adds W+-space L2 supervision against the known latents
     of synthetic training samples (reference analogue:
-    simple_stylegan_encoder.py:248)."""
+    simple_stylegan_encoder.py:248).  ``pool_grids``/``hidden_dims`` select
+    the spatially-aware projector heads (EncoderConfig docs)."""
     generator_cfg = generator_cfg or GeneratorConfig()
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,
         img_channels=generator_cfg.img_channels,
         w_dim=generator_cfg.w_dim,
         num_ws=generator_cfg.num_ws,
+        pool_grids=pool_grids or (1, 1, 1),
+        hidden_dims=hidden_dims,
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
@@ -303,6 +323,7 @@ def train_hvae_encoder(
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
         batch_size, train_samples, seed, num_prefetch, truncation_psi,
+        val_samples,
     )
     config_meta = {
         "stage": 1,
@@ -312,6 +333,8 @@ def train_hvae_encoder(
         "w_dim": generator_cfg.w_dim,
         "num_ws": generator_cfg.num_ws,
         "block_split": list(encoder_cfg.block_split),
+        "pool_grids": list(encoder_cfg.pool_grids),
+        "hidden_dims": list(encoder_cfg.resolved_hidden_dims),
         "loss_weights": {"rec": rec_weight, "perceptual": perceptual_weight,
                          "kl": kl_weight},
     }
@@ -348,9 +371,12 @@ def train_gumbel_hvae(
     mesh=None,
     seed: int = 42,
     num_prefetch: int = 2,
-    truncation_psi: float = 1.0,
+    truncation_psi=1.0,
     w_weight: float = 0.0,
     lr_decay: bool = False,
+    val_samples: int = 0,
+    pool_grids: Optional[Tuple[int, int, int]] = None,
+    hidden_dims: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
@@ -360,6 +386,8 @@ def train_gumbel_hvae(
         img_channels=generator_cfg.img_channels,
         w_dim=generator_cfg.w_dim,
         num_ws=generator_cfg.num_ws,
+        pool_grids=pool_grids or (1, 1, 1),
+        hidden_dims=hidden_dims,
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
@@ -394,6 +422,7 @@ def train_gumbel_hvae(
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
         batch_size, train_samples, seed, num_prefetch, truncation_psi,
+        val_samples,
     )
     config_meta = {
         "stage": 2,
@@ -402,6 +431,8 @@ def train_gumbel_hvae(
         "w_dim": generator_cfg.w_dim,
         "num_ws": generator_cfg.num_ws,
         "block_split": list(encoder_cfg.block_split),
+        "pool_grids": list(encoder_cfg.pool_grids),
+        "hidden_dims": list(encoder_cfg.resolved_hidden_dims),
         "n_embeddings": n_embeddings,
         "temperature": temperature,
     }

@@ -190,3 +190,30 @@ def test_batchloader_abandoned_iteration_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.02)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_synthetic_dataset_mixed_psi():
+    """A psi list splits samples across truncation levels; scalar psi p must
+    equal the per-sample lerp path at psi=[p] (one code path, two uses)."""
+    from image_compression_2_tpu.core import GeneratorConfig
+    from image_compression_2_tpu.models import Generator
+
+    cfg = GeneratorConfig.tiny(img_resolution=16, num_layers=4, margin_size=1)
+    gen = Generator(cfg)
+    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(0), jnp.zeros([1, cfg.z_dim]))
+
+    mixed = generate_synthetic_dataset(
+        gen, gen_vars, num_samples=6, batch_size=2, resolution=8, seed=7,
+        truncation_psi=[0.5, 1.0])
+    assert len(mixed) == 6
+    lo = generate_synthetic_dataset(
+        gen, gen_vars, num_samples=6, batch_size=2, resolution=8, seed=7,
+        truncation_psi=0.5)
+    hi = generate_synthetic_dataset(
+        gen, gen_vars, num_samples=6, batch_size=2, resolution=8, seed=7,
+        truncation_psi=1.0)
+    # first half of the mixed set is the psi=0.5 stream, second half psi=1.0
+    np.testing.assert_allclose(mixed.images[:3], lo.images[:3], atol=1e-5)
+    np.testing.assert_allclose(mixed.images[3:], hi.images[3:], atol=1e-5)
+    # truncation actually truncates: psi=0.5 ws are closer to their mean
+    assert np.std(lo.w_vectors) < np.std(hi.w_vectors)

@@ -162,3 +162,43 @@ def test_fused_roundtrip_matches_two_step(tiny_codec):
     fused = tiny_codec.roundtrip(x, 8)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(two_step),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_projector_heads():
+    """pool_grids > 1 (round-3 spatially-aware heads) — shapes, gradient
+    flow, and strictly more projector parameters than global pooling."""
+    cfg1 = EncoderConfig.tiny(img_resolution=32)
+    cfgG = EncoderConfig.tiny(img_resolution=32, pool_grids=(1, 2, 4),
+                              hidden_dims=(32, 32, 64))
+    x = jax.random.normal(jax.random.PRNGKey(0), [2, 32, 32, 3])
+    v1 = HVAEEncoder(cfg1).init(jax.random.PRNGKey(1), x)
+    vG = HVAEEncoder(cfgG).init(jax.random.PRNGKey(1), x)
+    w, m, lv = HVAEEncoder(cfgG).apply(vG, x)
+    assert w.shape == (2, cfgG.num_ws, cfgG.w_dim)
+    n1 = sum(p.size for p in jax.tree.leaves(v1))
+    nG = sum(p.size for p in jax.tree.leaves(vG))
+    assert nG > n1  # the grid heads see g*g*C features, not C
+
+    # fine head fc1 input = g*g*C of the tap it reads
+    fine_fc1 = vG["params"]["fine_projector"]["fc1"]["kernel"]
+    assert fine_fc1.shape[1] == 64  # hidden_dims[2]
+
+    def loss(params):
+        w, _, _ = HVAEEncoder(cfgG).apply({"params": params}, x)
+        return jnp.sum(w ** 2)
+
+    g = jax.grad(loss)(vG["params"])
+    gnorm = sum(float(jnp.sum(jnp.abs(p))) for p in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_default_pool_grids_unchanged():
+    """pool_grids=(1,1,1) must reproduce the round-2 parameter structure
+    (checkpoint compatibility for existing trained encoders)."""
+    cfg = EncoderConfig.tiny(img_resolution=32)
+    assert cfg.pool_grids == (1, 1, 1)
+    assert cfg.resolved_hidden_dims == (cfg.hidden_dim,) * 3
+    x = jnp.zeros([1, 32, 32, 3])
+    v = HVAEEncoder(cfg).init(jax.random.PRNGKey(0), x)
+    fc1 = v["params"]["global_projector"]["fc1"]["kernel"]
+    assert fc1.shape[1] == cfg.hidden_dim

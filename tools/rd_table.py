@@ -63,17 +63,28 @@ def main():
     res = args.res
     precision = Precision(compute_dtype=jnp.bfloat16)
     gen_cfg = GeneratorConfig(img_resolution=res)
+
+    raw1, meta1 = load_checkpoint(args.stage1)
+    enc1 = {"params": raw1["params"]}
+    print(f"stage-1 checkpoint: epoch {meta1.get('epoch')}")
+
+    # reconstruct the encoder architecture from the checkpoint's own meta
+    # (pool_grids/hidden_dims are round-3 spatially-aware-head knobs)
+    cfg_meta = meta1.get("config", {})
+    enc_kw = {}
+    if cfg_meta.get("block_split"):
+        enc_kw["block_split"] = tuple(cfg_meta["block_split"])
+    if cfg_meta.get("pool_grids"):
+        enc_kw["pool_grids"] = tuple(cfg_meta["pool_grids"])
+    if cfg_meta.get("hidden_dims"):
+        enc_kw["hidden_dims"] = tuple(cfg_meta["hidden_dims"])
     enc_cfg = EncoderConfig(img_resolution=res, w_dim=gen_cfg.w_dim,
-                            num_ws=gen_cfg.num_ws)
+                            num_ws=gen_cfg.num_ws, **enc_kw)
 
     # the frozen generator, derived exactly like build_stage1/2
     generator = Generator(gen_cfg, precision)
     _, k_gen = jax.random.split(jax.random.PRNGKey(args.seed))
     gen_vars = jax.jit(generator.init)(k_gen, jnp.zeros([1, gen_cfg.z_dim]))
-
-    raw1, meta1 = load_checkpoint(args.stage1)
-    enc1 = {"params": raw1["params"]}
-    print(f"stage-1 checkpoint: epoch {meta1.get('epoch')}")
 
     # held-out + calibration samples (never seen in training: different seed)
     n_total = args.n_eval + args.n_calib
