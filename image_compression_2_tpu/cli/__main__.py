@@ -217,39 +217,67 @@ def cmd_decompress(args):
 
 
 def cmd_compare(args):
+    """Compare classical codecs against every HVAE path on one image.
+
+    Reproduces the metric set of the reference's published table
+    (/root/reference/README.md:376-388): PSNR / MS-SSIM / LPIPS / ratio per
+    method, with PNG / JPEG / JPEG 2000 / WebP classical rows.  The LPIPS
+    column uses the random-feature fallback when no pretrained VGG is
+    available (comparable between rows of one table)."""
     import io
 
+    import jax
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..metrics.report import evaluate_roundtrip, format_report
+    from ..metrics.report import evaluate_roundtrip
+    from ..train.lpips import create_lpips
     from ..utils.images import load_image, to_uint8
 
     os.makedirs(args.output, exist_ok=True)
     x_np = load_image(args.image, args.resolution)
     x = jnp.asarray(x_np)[None]
     pil = Image.fromarray(to_uint8(x_np))
+    _, lp_vars, lp_apply = create_lpips(seed=0, image_size=args.resolution)
 
     rows = []
-    for fmt, kwargs in [("PNG", {}), ("JPEG", {"quality": 90}),
-                        ("WEBP", {"quality": 90})]:
+
+    def add_row(name, size, recon):
+        if recon is None:
+            rows.append((name, int(size), None))
+            return
+        recon = jnp.asarray(recon, jnp.float32)
+        if recon.ndim == 3:
+            recon = recon[None]
+        if recon.shape[1] != x.shape[1]:
+            recon = jax.image.resize(recon, x.shape, method="bilinear")
+        m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), size)
+        m["lpips_rf"] = float(jnp.mean(lp_apply(lp_vars, x, recon)))
+        rows.append((name, int(size), m))
+
+    for fmt, name, kwargs in [
+        ("PNG", "png", {}),
+        ("JPEG", "jpeg-q90", {"quality": 90}),
+        ("JPEG2000", "jpeg2000-20:1",
+         {"quality_mode": "rates", "quality_layers": [20]}),
+        ("WEBP", "webp-q90", {"quality": 90}),
+    ]:
         buf = io.BytesIO()
         try:
             pil.save(buf, format=fmt, **kwargs)
-        except Exception:
+            decoded = np.asarray(
+                Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+                np.float32) / 127.5 - 1.0
+        except Exception as e:
+            print(f"note: {fmt} unavailable ({e}); skipping row")
             continue
-        rows.append((f"{fmt.lower()}{kwargs.get('quality', '')}",
-                     buf.getbuffer().nbytes, None))
+        add_row(name, buf.getbuffer().nbytes, decoded)
 
     codec = _load_codec(args, "cabac")
     for use_cabac, name in [(False, "hvae-raw"), (True, "hvae-cabac")]:
         payload, meta = codec.compress_entropy(x, use_cabac=use_cabac)
         recon = codec.decompress_entropy(payload, meta)
-        if recon.shape[1] != x.shape[1]:
-            import jax
-            recon = jax.image.resize(recon, x.shape, method="bilinear")
-        m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), len(payload))
-        rows.append((name, len(payload), m))
+        add_row(name, len(payload), recon)
 
     # uniform-quantization row reuses the SAME encoder/generator weights
     from ..codec import Compressor
@@ -260,19 +288,21 @@ def cmd_compare(args):
     f = os.path.join(args.output, "uniform.npz")
     orig, comp, ratio = uni.save_compressed(x, f, quantization_bits=args.bits)
     recon, _ = uni.load_compressed(f)
-    if recon.shape[1] != x.shape[1]:
-        import jax
-        recon = jax.image.resize(recon, x.shape, method="bilinear")
-    m = evaluate_roundtrip(np.asarray(x), np.asarray(recon), comp)
-    rows.append((f"hvae-uniform-{args.bits}bit", int(comp), m))
+    add_row(f"hvae-uniform-{args.bits}bit", int(comp), recon)
 
     pix_bytes = x_np.size * 4
-    print(f"\n{'method':24s} {'size':>10s} {'ratio':>8s} {'psnr':>7s} {'ssim':>7s}")
+    print(f"\n{'method':24s} {'size':>10s} {'ratio':>8s} {'psnr':>7s} "
+          f"{'ms-ssim':>8s} {'lpips(rf)':>9s}")
     for name, size, m in rows:
         psnr_s = f"{m['psnr']:.2f}" if m else "-"
-        ssim_s = f"{m['ssim']:.4f}" if m else "-"
+        mss = m.get("ms_ssim") if m else None
+        mss_s = f"{mss:.4f}" if mss is not None else (
+            f"{m['ssim']:.4f}*" if m else "-")
+        lp_s = f"{m['lpips_rf']:.4f}" if m else "-"
         print(f"{name:24s} {size / 1024:8.2f}KB {pix_bytes / size:7.1f}x "
-              f"{psnr_s:>7s} {ssim_s:>7s}")
+              f"{psnr_s:>7s} {mss_s:>8s} {lp_s:>9s}")
+    if any(m and "ms_ssim" not in m for _, _, m in rows):
+        print("* SSIM (image too small for 5-scale MS-SSIM)")
 
 
 def cmd_generate(args):

@@ -169,10 +169,20 @@ class CABACCompressor(GumbelCompressor):
         return self.decompress(jnp.asarray(codes))
 
     def save_compressed(  # type: ignore[override]
-        self, x, filename: str, use_cabac: bool = True
+        self, x, filename: str, use_cabac: bool = True,
+        embed_priors: bool = False,
     ) -> Tuple[float, int, float]:
+        """``embed_priors=True`` writes a SELF-CONTAINED container (v3): the
+        zlib-compressed prior table rides inside the file, so a priors-coded
+        stream decodes on a fresh codec without the separately-shipped
+        bundle.  Default stays the lean external-bundle mode (the table is
+        ~100x the payload for single images)."""
         payload, metadata = self.compress_entropy(x, use_cabac=use_cabac)
-        write_cabac_file(filename, payload, metadata)
+        blob = None
+        if embed_priors and metadata.get("use_priors"):
+            blob = zlib.compress(
+                np.ascontiguousarray(self.priors, "<u2").tobytes(), 6)
+        write_cabac_file(filename, payload, metadata, priors_blob=blob)
         return (
             metadata["orig_size"],
             metadata["comp_size"],
@@ -181,5 +191,15 @@ class CABACCompressor(GumbelCompressor):
 
     def load_compressed(self, filename: str):  # type: ignore[override]
         payload, metadata = read_cabac_file(filename)
+        blob = metadata.pop("_embedded_priors", None)
+        if blob is not None and metadata.get("use_priors"):
+            shape = tuple(metadata["shape"])
+            n_emb = int(metadata["n_embeddings"])
+            table = np.frombuffer(
+                zlib.decompress(blob), "<u2"
+            ).reshape(shape[1], shape[2], n_emb)
+            # the embedded table must be the one the stream was coded with;
+            # the priors_crc32 check in decompress_entropy enforces it
+            self.priors = np.ascontiguousarray(table, np.uint16)
         img = self.decompress_entropy(payload, metadata)
         return img, metadata["compression_ratio"]

@@ -79,7 +79,7 @@ def filtered_lrelu(
         )
 
         B, H, W, C = x.shape
-        if fits_tiled(H, W, C, up, down, tu, td, padding):
+        if fits_tiled(H, W, C, up, down, tu, td, padding, dtype=x.dtype):
             return filtered_lrelu_pallas_tiled(
                 x, fu, fd, b, up=up, down=down, padding=padding,
                 gain=gain, slope=slope, clamp=clamp,

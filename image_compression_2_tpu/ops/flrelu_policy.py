@@ -43,17 +43,27 @@ def _load() -> Dict[str, str]:
 
 def lookup(B, H, W, C, up, down, fu_taps, fd_taps, pad) -> Optional[str]:
     """Measured winner for this geometry, or None if never benchmarked.
-    Falls back to the same geometry at any measured batch size."""
+    Falls back to the same geometry at the measured batch size CLOSEST to B
+    (winners differ per batch — the whole reason batch is in the key — so
+    the nearest measurement, preferring the smaller on ties, is the least
+    wrong proxy)."""
     table = _load()
     exact = table.get(geometry_key(B, H, W, C, up, down, fu_taps, fd_taps, pad))
     if exact is not None:
         return exact
     suffix = geometry_key(B, H, W, C, up, down, fu_taps, fd_taps, pad)
     suffix = suffix[suffix.index(":"):]
+    best = None  # (|measured_b - B|, measured_b, winner)
     for k, v in table.items():
         if k.endswith(suffix) and k.startswith("b"):
-            return v
-    return None
+            try:
+                mb = int(k[1:k.index(":")])
+            except ValueError:
+                continue
+            cand = (abs(mb - B), mb, v)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+    return best[2] if best else None
 
 
 def save_policy(winners: Dict[str, str], meta: Dict) -> None:

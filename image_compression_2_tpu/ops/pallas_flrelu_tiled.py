@@ -397,9 +397,17 @@ def _build_call(plan: _Plan, fu_key: bytes, fd_key: bytes, gain: float,
     return run
 
 
+def _carry_bytes(dtype) -> int:
+    # fp32 inputs carry fp32 through the kernel (see _build_call); the VMEM
+    # plan must budget 4 B/elem for them, not the bf16 default
+    return 4 if jnp.dtype(dtype) == jnp.float32 else 2
+
+
 def fits_tiled(H: int, W: int, C: int, up: int, down: int,
-               fu_taps: int, fd_taps: int, padding: Padding) -> bool:
-    return plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding) is not None
+               fu_taps: int, fd_taps: int, padding: Padding,
+               dtype=jnp.bfloat16) -> bool:
+    return plan_tiled(H, W, C, up, down, fu_taps, fd_taps, padding,
+                      carry_bytes=_carry_bytes(dtype)) is not None
 
 
 def filtered_lrelu_pallas_tiled(
@@ -420,7 +428,8 @@ def filtered_lrelu_pallas_tiled(
     fd = None if fd is None else np.asarray(fd, np.float32)
     plan = plan_tiled(H, W, C, up, down,
                       1 if fu is None else len(fu),
-                      1 if fd is None else len(fd), padding)
+                      1 if fd is None else len(fd), padding,
+                      carry_bytes=_carry_bytes(x.dtype))
     assert plan is not None, "no legal chunking; use mode='matmul'"
     run = _build_call(
         plan,

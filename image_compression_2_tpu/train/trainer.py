@@ -123,6 +123,7 @@ def _setup_data(
     num_prefetch: int,
     truncation_psi=1.0,
     val_samples: int = 0,
+    mesh=None,
 ):
     if dataset_path is not None:
         train_ds = ImageFolderDataset(dataset_path, resolution=training_resolution)
@@ -139,11 +140,17 @@ def _setup_data(
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True, seed=seed,
                                prefetch=num_prefetch)
     val_loader = None
+    # Partial final val batches are kept on single-device runs (one extra
+    # jit specialization, but a val set smaller than batch_size would
+    # otherwise silently yield ZERO batches); under a mesh the batch must
+    # divide the data axis, so the remainder is dropped there.
+    val_drop_last = mesh is not None
     if val_dataset_path is not None:
         val_ds = ImageFolderDataset(val_dataset_path,
                                     resolution=training_resolution)
         val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
-                                 prefetch=num_prefetch)
+                                 prefetch=num_prefetch,
+                                 drop_last=val_drop_last)
     elif val_samples > 0 and dataset_path is None:
         # held-out synthetic validation: different seed stream than training,
         # so per-epoch val metrics track generalisation, not memorisation
@@ -153,7 +160,8 @@ def _setup_data(
             seed=seed + 99991, truncation_psi=truncation_psi,
         )
         val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
-                                 prefetch=num_prefetch)
+                                 prefetch=num_prefetch,
+                                 drop_last=val_drop_last)
     return train_ds, train_loader, val_loader
 
 
@@ -323,7 +331,7 @@ def train_hvae_encoder(
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
         batch_size, train_samples, seed, num_prefetch, truncation_psi,
-        val_samples,
+        val_samples, mesh,
     )
     config_meta = {
         "stage": 1,
@@ -422,7 +430,7 @@ def train_gumbel_hvae(
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
         batch_size, train_samples, seed, num_prefetch, truncation_psi,
-        val_samples,
+        val_samples, mesh,
     )
     config_meta = {
         "stage": 2,

@@ -1,6 +1,7 @@
 """CABAC spec tests: roundtrip identity, Python/C++ bitstream equality,
 compression gain, container format, end-to-end codec."""
 
+import os
 import numpy as np
 import pytest
 
@@ -340,3 +341,52 @@ def test_codec_batched_streams_and_image_index(tmp_path):
     # identical codes; the image tolerance covers batch-1 vs batch-4 XLA
     # codegen differences in the synthesis pass
     np.testing.assert_allclose(one, full[2:3], rtol=1e-4, atol=1e-5)
+
+
+def test_self_contained_container_embedded_priors(tmp_path):
+    """A v3 .cabac with embedded priors decodes on a FRESH codec (no bundle,
+    no load_priors) to the exact same codes; wrong external priors on a
+    lean v2 file still fail the crc check (reference container being
+    corrected: /root/reference/cabac_compression.py:539-563)."""
+    from image_compression_2_tpu.core import EncoderConfig, GeneratorConfig
+    from image_compression_2_tpu.codec.cabac_compressor import CABACCompressor
+
+    RES = 16
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(img_resolution=RES, w_dim=gen_cfg.w_dim,
+                                 num_ws=gen_cfg.num_ws, block_split=(2, 4))
+    comp = CABACCompressor.create(enc_cfg, gen_cfg, seed=0, n_embeddings=64)
+    xs = jax.random.uniform(jax.random.PRNGKey(2), [4, RES, RES, 3],
+                            minval=-1, maxval=1)
+    comp.calibrate(xs)
+    _, meta_probe = comp.compress_entropy(xs, use_cabac=True)
+    if not (meta_probe["use_cabac"] and meta_probe["use_priors"]):
+        pytest.skip("raw fallback chosen on this data")
+
+    f = str(tmp_path / "self.cabac")
+    comp.save_compressed(xs, f, embed_priors=True)
+
+    # fresh codec: same weights, NO priors loaded
+    fresh = CABACCompressor.create(enc_cfg, gen_cfg, seed=0, n_embeddings=64)
+    assert fresh.priors is None
+    img, ratio = fresh.load_compressed(f)
+    assert img.shape == (4, RES, RES, 3)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.compress(jnp.asarray(img))),
+        np.asarray(comp.compress(jnp.asarray(img))))
+    # the embedded table was installed and matches the encoder's
+    np.testing.assert_array_equal(fresh.priors, comp.priors)
+
+    # lean (v2) file still refuses to decode without the right priors
+    f2 = str(tmp_path / "lean.cabac")
+    comp.save_compressed(xs, f2, embed_priors=False)
+    fresh2 = CABACCompressor.create(enc_cfg, gen_cfg, seed=0, n_embeddings=64)
+    with pytest.raises(AssertionError):
+        fresh2.load_compressed(f2)
+    fresh2.priors = np.maximum(comp.priors.astype(np.int32) // 2, 1).astype(
+        np.uint16)  # plausible but WRONG table
+    with pytest.raises(ValueError, match="crc"):
+        fresh2.load_compressed(f2)
+    # size overhead is real but bounded: the blob compresses well
+    assert os.path.getsize(f) > os.path.getsize(f2)

@@ -146,6 +146,12 @@ def test_cli_compress_decompress_eval(tmp_path, capsys):
               "--output", cmp_dir, "--resolution", str(RES), "--no-bf16"])
     captured = capsys.readouterr().out
     assert "hvae-cabac" in captured and "png" in captured
+    # full reference-shaped metric set (README.md:376-388): classical rows
+    # carry quality numbers too, plus JPEG 2000 and MS-SSIM/LPIPS columns
+    assert "jpeg2000" in captured and "ms-ssim" in captured
+    assert "lpips(rf)" in captured
+    jpeg_row = [l for l in captured.splitlines() if l.startswith("jpeg-q90")]
+    assert jpeg_row and "-" not in jpeg_row[0].split()[3]  # psnr measured
 
 
 def test_cli_download_stats_only(tmp_path, capsys):

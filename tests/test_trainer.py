@@ -116,3 +116,58 @@ def test_cosine_lr_decay_schedule():
             first = size
         last = size
     assert last < first * 0.2, (first, last)
+
+
+def test_stage1_trainer_from_image_folder(tmp_path):
+    """End-to-end folder-dataset training: write generator samples to disk as
+    PNGs, then train stage 1 from the folder (the ImageNet-100 ingestion
+    path — /root/reference/stylegan3_hvae_full.py:503-535 — exercised
+    without kaggle), including a folder val split."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_compression_2_tpu.data.dataset import generate_synthetic_dataset
+    from image_compression_2_tpu.models import Generator
+    from image_compression_2_tpu.utils.images import save_image
+
+    gen_cfg, enc_cfg = _cfgs()
+    gen = Generator(gen_cfg)
+    gen_vars = jax.jit(gen.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros([1, gen_cfg.z_dim]))
+    ds = generate_synthetic_dataset(gen, gen_vars, num_samples=10,
+                                    batch_size=4, resolution=RES, seed=3)
+    train_dir = tmp_path / "imgs" / "class_a"   # class-dir layout
+    val_dir = tmp_path / "val" / "class_a"
+    os.makedirs(train_dir), os.makedirs(val_dir)
+    for i in range(8):
+        save_image(ds[i][0], str(train_dir / f"t{i}.png"))
+    for i in range(8, 10):
+        save_image(ds[i][0], str(val_dir / f"v{i}.png"))
+
+    out = str(tmp_path / "run_folder")
+    state, history = train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=2,
+        save_every=2, dataset_path=str(tmp_path / "imgs"),
+        val_dataset_path=str(tmp_path / "val"),
+        generator_cfg=gen_cfg, encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+        lr_decay=True,
+    )
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    assert "val_loss" in history and np.isfinite(history["val_loss"]).all()
+    assert os.path.exists(os.path.join(out, "hvae_encoder_final.ic2t"))
+
+
+def test_stage1_synthetic_val_split(tmp_path):
+    """--val-samples: held-out synthetic validation reports val_* metrics
+    from a DIFFERENT seed stream than training."""
+    gen_cfg, enc_cfg = _cfgs()
+    out = str(tmp_path / "run_val")
+    _, history = train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=8, val_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+        truncation_psi=[0.5, 1.0], pool_grids=(1, 2, 2),
+    )
+    assert "val_loss" in history and np.isfinite(history["val_loss"]).all()
+    assert "val_rec_loss" in history

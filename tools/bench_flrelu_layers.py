@@ -93,10 +93,11 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
                 def body(i, acc):
                     o = fn(x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype),
                            b)
-                    # single-element index, NOT o.ravel()[0]: ravel of a
-                    # large tiled NHWC tensor is a full relayout (seconds
-                    # for the 276^2 layers) and would dominate the timing
-                    return acc + o[0, 0, 0, 0].astype(jnp.float32)
+                    # full reduction so no mode's output can be dead-code
+                    # narrowed (XLA can sink a single-element slice into the
+                    # dot/conv and compute a sliver of the real layer);
+                    # jnp.sum is a cheap on-device reduce, not a relayout
+                    return acc + jnp.sum(o, dtype=jnp.float32)
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
             timer = jax.jit(many)

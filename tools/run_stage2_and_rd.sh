@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 python -m image_compression_2_tpu.cli train-gumbel \
   --output runs/r2stage2 --resolution 256 --generator-resolution 256 \
   --max-resolution 256 --batch-size 8 --epochs 80 --train-samples 512 \
-  --truncation-psi 0.7 --w-weight 1.0 --n-embeddings 256 --bf16 --lr-decay \
+  --truncation-psi 0.7 --w-weight 0.1 --n-embeddings 256 --bf16 --lr-decay \
   --save-every 40 --seed 42 \
   --resume runs/r2stage1/hvae_encoder_final.ic2t
 
