@@ -46,11 +46,14 @@ def filtered_lrelu(
 
     ``mode``: 'conv' (depthwise convs — linear in plane size, VPU-bound),
     'matmul' (banded-operator MXU matmuls — ~10x faster than conv on the
-    hot 256² layers but quadratic in plane size), 'tiled' (the fused
-    H-tiled Pallas kernel, ``pallas_flrelu_tiled`` — one HBM read + one
-    write per plane instead of four roundtrips), or 'auto' (the measured
-    per-geometry winner from ``flrelu_policy.json``; matmul for
-    unbenchmarked separable-resampling geometries).
+    hot 256² layers but quadratic in plane size), 'mmfuse' (matmul H
+    passes around ONE Pallas kernel fusing W-up → lrelu → W-down, so the
+    2x-oversampled intermediate never round-trips HBM;
+    ``pallas_flrelu_wfuse``), 'tiled' (the fused H-tiled Pallas kernel,
+    ``pallas_flrelu_tiled`` — one HBM read + one write per plane instead
+    of four roundtrips), or 'auto' (the measured per-geometry winner from
+    ``flrelu_policy.json``; matmul for unbenchmarked separable-resampling
+    geometries).
     """
     px0, px1, py0, py1 = _parse_padding(padding)
     separable = (fu is None or np.ndim(fu) == 1) and (
@@ -66,6 +69,22 @@ def filtered_lrelu(
                           up, down, tu, td, (px0, px1, py0, py1))
         if measured is not None:
             mode = measured
+    if mode == "mmfuse":
+        if not (separable and (up > 1 or down > 1)):
+            raise ValueError(
+                "mode='mmfuse' requires separable 1-D filters and up/down > 1")
+        from .pallas_flrelu_wfuse import filtered_lrelu_wfuse, fits_wfuse
+
+        B, H, W, C = x.shape
+        if fits_wfuse(B, H, W, C, up, down, tu, td,
+                      (px0, px1, py0, py1), dtype=x.dtype):
+            return filtered_lrelu_wfuse(
+                x, fu, fd, b, up=up, down=down, padding=padding,
+                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
+            )
+        if not auto:
+            raise ValueError("no legal wfuse block for this geometry")
+        mode = "matmul"  # stale policy entry: degrade, don't crash
     if mode == "tiled":
         if not (separable and (up > 1 or down > 1)):
             # the tiled kernel is defined only for separable resampling —

@@ -1,0 +1,110 @@
+"""W-middle-fused Pallas filtered-lrelu: golden equality vs the conv
+reference and gradient parity vs the matmul path (interpret mode on CPU;
+compiled-path timing happens on the real TPU via bench_flrelu_layers)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_2_tpu.ops import design_lowpass_filter, filtered_lrelu
+from image_compression_2_tpu.ops import pallas_flrelu_wfuse as wf
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return real_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    wf._build_call.cache_clear()
+    yield
+    wf._build_call.cache_clear()
+
+
+def _filters(tu, td):
+    fu = design_lowpass_filter(tu, 0.4, 0.4, 4.0)
+    fd = design_lowpass_filter(td, 0.4, 0.4, 4.0)
+    return fu, fd
+
+
+def test_plan_feasibility():
+    # the 256-config hot layer fits
+    assert wf.fits_wfuse(8, 278, 278, 181, 2, 2, 12, 12, (9, 8, 9, 8))
+    # grotesquely wide geometry has no legal block
+    assert not wf.fits_wfuse(1, 8192, 8192, 512, 2, 2, 12, 12, 0)
+
+
+def test_matches_reference_up2_down2():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 20, 20, 128).astype(np.float32))
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, b, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, b, mode="mmfuse", **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_matches_reference_negative_padding_up4():
+    # the u4d2 critically-sampled layers crop via negative padding
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 22, 22, 72).astype(np.float32))
+    fu, fd = _filters(24, 12)
+    kw = dict(up=4, down=2, padding=(-6, -9, -6, -9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, None, mode="matmul", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, None, mode="mmfuse", **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_matches_reference_torgb_semantics():
+    # torgb layers: slope=1, gain=1 (pure linear resampling + clamp)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), gain=1.0, slope=1.0,
+              clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, b, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, b, mode="mmfuse", **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_odd_channel_and_height_blocks():
+    # C and H2 not multiples of the block dims exercise grid padding
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 13, 13, 137).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, None, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, None, mode="mmfuse", **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_gradients_match_matmul_path():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 12, 12, 64).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    # tight clamp so the clamp-mask branch of the VJP is exercised
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=1.5)
+
+    def loss(mode):
+        def f(x, b):
+            o = filtered_lrelu(x, fu, fd, b, mode=mode, **kw)
+            return jnp.sum(o * o)
+        return f
+
+    g_ref = jax.grad(loss("matmul"), argnums=(0, 1))(x, b)
+    g_got = jax.grad(loss("mmfuse"), argnums=(0, 1))(x, b)
+    for a, c in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)

@@ -27,6 +27,7 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
     from image_compression_2_tpu.ops import design_lowpass_filter, filtered_lrelu
     from image_compression_2_tpu.ops.flrelu_policy import geometry_key
     from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
+    from image_compression_2_tpu.ops.pallas_flrelu_wfuse import fits_wfuse
     from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
 
     cfg = GeneratorConfig(img_resolution=res)
@@ -61,6 +62,14 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
                 or plan_tiled(
                     H, H, C, spec.up_factor, spec.down_factor,
                     spec.up_taps, spec.down_taps, spec.padding) is None
+            ):
+                row += f" {'n/a':>10s}"
+                continue
+            if m == "mmfuse" and (
+                np.ndim(fu) > 1 or np.ndim(fd) > 1
+                or not fits_wfuse(
+                    batch, H, H, C, spec.up_factor, spec.down_factor,
+                    spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
             ):
                 row += f" {'n/a':>10s}"
                 continue
@@ -133,7 +142,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--modes", default="matmul,tiled,conv")
+    ap.add_argument("--modes", default="matmul,mmfuse,tiled,conv")
     ap.add_argument("--emit-policy", action="store_true",
                     help="benchmark 256@b8 and 1024@b2, write "
                          "ops/flrelu_policy.json")
