@@ -262,6 +262,24 @@ def _decay_steps(lr_decay: bool, num_epochs: int, train_samples: int,
     return num_epochs * max(1, n // batch_size)
 
 
+def _arch_from_ckpt(resume_from: Optional[str]) -> Dict:
+    """Encoder-architecture knobs recorded in a checkpoint's meta, so a
+    resumed/warm-started run reconstructs the exact encoder without the
+    caller re-specifying --pool-grids/--hidden-dims/--block-split."""
+    if resume_from is None or not os.path.exists(resume_from):
+        return {}
+    _, meta = load_checkpoint(resume_from)
+    cfg = meta.get("config", {})
+    out = {}
+    for key in ("block_split", "pool_grids", "hidden_dims"):
+        if cfg.get(key):
+            out[key] = tuple(cfg[key])
+    for key in ("channel_base", "channel_max", "fine_block", "medium_block"):
+        if cfg.get(key) is not None:
+            out[key] = cfg[key]
+    return out
+
+
 def train_hvae_encoder(
     output_dir: str = "./output",
     training_resolution: int = 256,
@@ -300,13 +318,17 @@ def train_hvae_encoder(
     simple_stylegan_encoder.py:248).  ``pool_grids``/``hidden_dims`` select
     the spatially-aware projector heads (EncoderConfig docs)."""
     generator_cfg = generator_cfg or GeneratorConfig()
+    arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,
         img_channels=generator_cfg.img_channels,
         w_dim=generator_cfg.w_dim,
         num_ws=generator_cfg.num_ws,
-        pool_grids=pool_grids or (1, 1, 1),
-        hidden_dims=hidden_dims,
+        block_split=arch.get("block_split", (5, 12)),
+        pool_grids=pool_grids or arch.get("pool_grids", (1, 1, 1)),
+        hidden_dims=hidden_dims or arch.get("hidden_dims"),
+        **{k: arch[k] for k in ("channel_base", "channel_max", "fine_block",
+                                "medium_block") if k in arch},
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
@@ -343,6 +365,10 @@ def train_hvae_encoder(
         "block_split": list(encoder_cfg.block_split),
         "pool_grids": list(encoder_cfg.pool_grids),
         "hidden_dims": list(encoder_cfg.resolved_hidden_dims),
+        "channel_base": encoder_cfg.channel_base,
+        "channel_max": encoder_cfg.channel_max,
+        "fine_block": encoder_cfg.fine_block,
+        "medium_block": encoder_cfg.medium_block,
         "loss_weights": {"rec": rec_weight, "perceptual": perceptual_weight,
                          "kl": kl_weight},
     }
@@ -389,13 +415,17 @@ def train_gumbel_hvae(
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
     generator_cfg = generator_cfg or GeneratorConfig()
+    arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,
         img_channels=generator_cfg.img_channels,
         w_dim=generator_cfg.w_dim,
         num_ws=generator_cfg.num_ws,
-        pool_grids=pool_grids or (1, 1, 1),
-        hidden_dims=hidden_dims,
+        block_split=arch.get("block_split", (5, 12)),
+        pool_grids=pool_grids or arch.get("pool_grids", (1, 1, 1)),
+        hidden_dims=hidden_dims or arch.get("hidden_dims"),
+        **{k: arch[k] for k in ("channel_base", "channel_max", "fine_block",
+                                "medium_block") if k in arch},
     )
     precision = Precision(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
     weights = LossWeights(rec=rec_weight, perceptual=perceptual_weight,
@@ -441,6 +471,10 @@ def train_gumbel_hvae(
         "block_split": list(encoder_cfg.block_split),
         "pool_grids": list(encoder_cfg.pool_grids),
         "hidden_dims": list(encoder_cfg.resolved_hidden_dims),
+        "channel_base": encoder_cfg.channel_base,
+        "channel_max": encoder_cfg.channel_max,
+        "fine_block": encoder_cfg.fine_block,
+        "medium_block": encoder_cfg.medium_block,
         "n_embeddings": n_embeddings,
         "temperature": temperature,
     }

@@ -95,6 +95,38 @@ def test_stage2_trainer_warm_start_from_stage1(tmp_path):
     assert len(history3["loss"]) == 1
 
 
+def test_stage2_warm_start_adopts_checkpoint_architecture(tmp_path):
+    """With no encoder_cfg/flags, the stage-2 warm start must rebuild the
+    stage-1 encoder architecture from the checkpoint's own meta (incl. the
+    round-3 spatial-head knobs) instead of defaulting and shape-mismatching."""
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(
+        img_resolution=RES, w_dim=gen_cfg.w_dim, num_ws=gen_cfg.num_ws,
+        block_split=(2, 4), pool_grids=(1, 2, 2), hidden_dims=(32, 32, 48),
+    )
+    out1 = str(tmp_path / "s1")
+    train_hvae_encoder(
+        output_dir=out1, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0,
+    )
+    state, history = train_gumbel_hvae(
+        output_dir=str(tmp_path / "s2"), training_resolution=RES,
+        max_resolution=RES, batch_size=4, num_epochs=1, save_every=1,
+        train_samples=4, n_embeddings=32, generator_cfg=gen_cfg,
+        use_lpips=False, seed=0,  # NOTE: no encoder_cfg, no arch flags
+        resume_from=os.path.join(out1, "hvae_encoder_final.ic2t"),
+    )
+    assert np.isfinite(history["loss"]).all()
+    raw, meta = load_checkpoint(
+        os.path.join(str(tmp_path / "s2"), "gumbel_hvae_final.ic2t"))
+    assert tuple(meta["config"]["pool_grids"]) == (1, 2, 2)
+    assert tuple(meta["config"]["hidden_dims"]) == (32, 32, 48)
+    assert tuple(meta["config"]["block_split"]) == (2, 4)
+    assert meta["config"]["channel_max"] == enc_cfg.channel_max
+
+
 def test_cosine_lr_decay_schedule():
     """make_optimizer(decay_steps>0) shrinks the effective step size ~10x by
     the end of the horizon (cosine to alpha=0.1)."""

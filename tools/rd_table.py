@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--n-calib", type=int, default=48)
     ap.add_argument("--truncation", type=float, default=0.7)
     ap.add_argument("--n-embeddings", type=int, default=256)
+    ap.add_argument("--alloc-sweep", action="store_true",
+                    help="sweep per-layer bit allocations vs flat rows and "
+                         "report the RD frontier "
+                         "(/root/reference/stylegan3_hvae_guide.md:335-340)")
     ap.add_argument("--out", default="RD_TABLE.md")
     args = ap.parse_args()
 
@@ -139,6 +143,54 @@ def main():
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
 
+    sweep_note = ""
+    if args.alloc_sweep:
+        # Coarse-heavy candidates (high bits for the early W layers, per the
+        # reference guide's 10-12b coarse -> 4-6b fine recipe) at several
+        # average-bit levels, plus matched flat rows for the dominance check.
+        def fit(alloc):
+            return tuple(alloc[min(i * len(alloc) // n_ws, len(alloc) - 1)]
+                         for i in range(n_ws))
+
+        candidates = {
+            "alloc-12..4 (avg 7.5)": fit((12, 12, 10, 10, 8, 8, 8, 8,
+                                          6, 6, 6, 6, 4, 4, 4, 4)),
+            "alloc-10..4 (avg 6.4)": fit((10, 10, 8, 8, 8, 8, 6, 6,
+                                          6, 6, 5, 5, 4, 4, 4, 4)),
+            "alloc-8..2 (avg 5.1)": fit((8, 8, 8, 8, 6, 6, 6, 6,
+                                         5, 5, 4, 4, 3, 3, 2, 2)),
+            "alloc-6..2 (avg 4.0)": fit((6, 6, 6, 6, 5, 5, 4, 4,
+                                         4, 4, 3, 3, 2, 2, 2, 2)),
+        }
+        sweep = {}
+        for name, alloc in candidates.items():
+            w = uni.compress(x_eval, quantization_bits=alloc)
+            comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
+            sweep[name] = metrics(x_eval, uni.decompress(w), comp)
+            print(f"{name}: {sweep[name]}", flush=True)
+        for bits in (2, 3, 5, 6):
+            w = uni.compress(x_eval, quantization_bits=bits)
+            comp = w.size / args.n_eval * bits / 8
+            sweep[f"flat-{bits}bit"] = metrics(
+                x_eval, uni.decompress(w), comp)
+            print(f"flat-{bits}bit: {sweep[f'flat-{bits}bit']}", flush=True)
+        dominated = [
+            (pn, fn) for pn, pm in sweep.items() if pn.startswith("alloc")
+            for fn, fm in {**rows, **sweep}.items()
+            if (fn.startswith(("flat", "uniform"))
+                and pm["psnr"] >= fm["psnr"] and pm["bpp"] < fm["bpp"])
+        ]
+        rows.update(sweep)
+        if dominated:
+            sweep_note = (
+                "\n\nPer-layer allocations dominating a flat row "
+                "(>= PSNR at < bpp): "
+                + "; ".join(f"{p} > {f}" for p, f in dominated) + "\n")
+        else:
+            sweep_note = (
+                "\n\nNo per-layer allocation dominates a flat row at this "
+                "operating point (distortion not yet rate-limited).\n")
+
     if args.stage2 and os.path.exists(args.stage2):
         raw2, meta2 = load_checkpoint(args.stage2)
         p2 = raw2["params"]
@@ -200,7 +252,7 @@ def main():
         "| + CABAC 4-bit | 33.12 | 0.967 | 0.052 | ~150:1 |\n"
     )
     with open(args.out, "w") as f:
-        f.write(header + "\n".join(lines) + footer)
+        f.write(header + "\n".join(lines) + sweep_note + footer)
     with open(args.out.replace(".md", ".json"), "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {args.out}")
