@@ -125,7 +125,7 @@ def cmd_train(args):
         seed=args.seed, truncation_psi=args.truncation_psi,
         w_weight=args.w_weight, lr_decay=args.lr_decay,
         val_samples=args.val_samples, pool_grids=args.pool_grids,
-        hidden_dims=args.hidden_dims,
+        hidden_dims=args.hidden_dims, remat=args.remat,
     )
 
 
@@ -458,6 +458,10 @@ def main(argv=None):
                         "'1,2,4'); default 1,1,1 = reference global pooling")
     p.add_argument("--hidden-dims", type=_parse_grid, default=None,
                    help="projector MLP widths 'global,medium,fine'")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the synthesis chain in the train "
+                        "step (fits full-res 1024 training in HBM at the "
+                        "cost of recompute)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-gumbel", help="stage-2 Gumbel training")
