@@ -89,6 +89,50 @@ def test_odd_channel_and_height_blocks():
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
 
 
+def test_auto_mode_routes_mmfuse_policy_winner(monkeypatch, tmp_path):
+    """A measured 'mmfuse' policy row routes mode='auto' into the wfuse
+    kernel; geometries without any policy row resolve (matmul default)."""
+    import json
+
+    from image_compression_2_tpu.ops import flrelu_policy as fp
+
+    H = W = 20
+    C = 128
+    pad = (9, 8, 8, 9)
+    key = fp.geometry_key(1, H, W, C, 2, 2, 12, 12, pad)
+    pfile = tmp_path / "policy.json"
+    pfile.write_text(json.dumps({"winners": {key: "mmfuse"}}))
+    monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
+    monkeypatch.setattr(fp, "_policy", None)
+
+    calls = []
+    real = wf.filtered_lrelu_wfuse
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        "image_compression_2_tpu.ops.pallas_flrelu_wfuse."
+        "filtered_lrelu_wfuse", spy)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    out = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="auto")
+    assert calls, "policy winner 'mmfuse' was not used"
+    ref = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="matmul")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    # unbenchmarked geometry (no row at any batch) still resolves
+    x2 = jnp.asarray(rng.randn(1, 24, 24, 64).astype(np.float32))
+    out2 = filtered_lrelu(x2, fu, fd, None, up=2, down=2, padding=pad,
+                          mode="auto")
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 def test_gradients_match_matmul_path():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 12, 12, 64).astype(np.float32))

@@ -144,8 +144,13 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--modes", default="matmul,mmfuse,tiled,conv")
     ap.add_argument("--emit-policy", action="store_true",
-                    help="benchmark 256@b8 and 1024@b2, write "
+                    help="benchmark --policy-configs, write "
                          "ops/flrelu_policy.json")
+    ap.add_argument("--policy-configs", default="256:8,256:4,256:1,512:2,"
+                                                "1024:2,1024:1",
+                    help="comma list of res:batch pairs for --emit-policy "
+                         "(VERDICT r2 item 6: measure, don't default, the "
+                         "common geometries)")
     args = ap.parse_args()
 
     from image_compression_2_tpu.utils.cache import enable_compilation_cache
@@ -155,7 +160,9 @@ def main():
     winners, rows = {}, []
     modes = args.modes.split(",")
     if args.emit_policy:
-        for res, batch in ((256, 8), (1024, 2)):
+        configs = [tuple(map(int, rb.split(":")))
+                   for rb in args.policy_configs.split(",")]
+        for res, batch in configs:
             bench_config(res, batch, args.iters, modes, args.dtype,
                          winners, rows)
         from image_compression_2_tpu.ops.flrelu_policy import save_policy
