@@ -63,10 +63,11 @@ def filtered_lrelu(
     td = 1 if fd is None else len(np.asarray(fd))
     auto = mode == "auto"
     if auto and separable and (up > 1 or down > 1):
-        from .flrelu_policy import lookup
+        from .flrelu_policy import lookup, usable
 
-        measured = lookup(x.shape[0], x.shape[1], x.shape[2], x.shape[3],
-                          up, down, tu, td, (px0, px1, py0, py1))
+        measured = usable(lookup(
+            x.shape[0], x.shape[1], x.shape[2], x.shape[3],
+            up, down, tu, td, (px0, px1, py0, py1)))
         if measured is not None:
             mode = measured
     if mode == "mmfuse":

@@ -19,6 +19,23 @@ _POLICY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "flrelu_policy.json")
 _policy: Optional[Dict[str, str]] = None
 
+# The policy is measured on TPU; its Pallas winners (tiled/mmfuse) cannot
+# compile on the CPU backend (tests, the driver's virtual-device mesh), so
+# mode='auto' degrades them to matmul there.  Tests that exercise the
+# routing under the Pallas interpreter set this to True.
+FORCE_PALLAS_ON_CPU = False
+_PALLAS_MODES = frozenset({"tiled", "mmfuse"})
+
+
+def usable(winner: Optional[str]) -> Optional[str]:
+    """Degrade Pallas winners to matmul on non-TPU backends."""
+    if winner in _PALLAS_MODES and not FORCE_PALLAS_ON_CPU:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return "matmul"
+    return winner
+
 
 def geometry_key(B: int, H: int, W: int, C: int, up: int, down: int,
                  fu_taps: int, fd_taps: int, pad: Tuple[int, int, int, int]

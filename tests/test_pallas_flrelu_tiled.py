@@ -119,6 +119,7 @@ def test_auto_mode_consults_measured_policy(monkeypatch, tmp_path):
     pfile.write_text(json.dumps({"winners": {key: "tiled"}}))
     monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
     monkeypatch.setattr(fp, "_policy", None)
+    monkeypatch.setattr(fp, "FORCE_PALLAS_ON_CPU", True)
 
     calls = []
     real = pft_mod.filtered_lrelu_pallas_tiled

@@ -104,6 +104,9 @@ def test_auto_mode_routes_mmfuse_policy_winner(monkeypatch, tmp_path):
     pfile.write_text(json.dumps({"winners": {key: "mmfuse"}}))
     monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
     monkeypatch.setattr(fp, "_policy", None)
+    # tests run on the CPU backend, where auto degrades Pallas winners to
+    # matmul unless forced (the interpret fixture makes them runnable here)
+    monkeypatch.setattr(fp, "FORCE_PALLAS_ON_CPU", True)
 
     calls = []
     real = wf.filtered_lrelu_wfuse
@@ -131,6 +134,37 @@ def test_auto_mode_routes_mmfuse_policy_winner(monkeypatch, tmp_path):
     out2 = filtered_lrelu(x2, fu, fd, None, up=2, down=2, padding=pad,
                           mode="auto")
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_auto_mode_degrades_pallas_winner_on_cpu(monkeypatch, tmp_path):
+    """Without the force flag, a Pallas policy winner degrades to matmul on
+    the CPU backend (tests / driver dryrun cannot compile TPU kernels)."""
+    import json
+
+    from image_compression_2_tpu.ops import flrelu_policy as fp
+
+    H = W = 20
+    C = 128
+    pad = (9, 8, 8, 9)
+    key = fp.geometry_key(1, H, W, C, 2, 2, 12, 12, pad)
+    pfile = tmp_path / "policy.json"
+    pfile.write_text(json.dumps({"winners": {key: "mmfuse"}}))
+    monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
+    monkeypatch.setattr(fp, "_policy", None)
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel must not run on CPU auto path")
+
+    monkeypatch.setattr(
+        "image_compression_2_tpu.ops.pallas_flrelu_wfuse."
+        "filtered_lrelu_wfuse", boom)
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    out = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="auto")
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_gradients_match_matmul_path():
