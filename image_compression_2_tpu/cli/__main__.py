@@ -194,7 +194,8 @@ def cmd_compress(args):
         orig, comp, ratio = codec.save_compressed(x, args.output)
     else:
         orig, comp, ratio = codec.save_compressed(
-            x, args.output, quantization_bits=_parse_bits(args.bits))
+            x, args.output, quantization_bits=_parse_bits(args.bits),
+            refine_steps=args.refine_steps)
     dt = time.time() - t0
     print(f"compressed {args.image} -> {args.output}")
     print(f"  original: {orig / 1024:.2f} KB   compressed: {comp / 1024:.2f} KB"
@@ -508,6 +509,10 @@ def main(argv=None):
     p.add_argument("--output", type=str, required=True)
     p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
                    default="auto")
+    p.add_argument("--refine-steps", type=int, default=0,
+                   help="encode-time inversion refinement steps on W+ "
+                        "(uniform method; slower encode, better quality at "
+                        "the same rate)")
     p.add_argument("--bits", type=str, default="8",
                    help="bit depth, or a comma list for per-W-layer "
                         "allocation (e.g. 12,12,10,10,8,8,8,8,6,6,6,6,4,4,4,4)")

@@ -151,6 +151,41 @@ class Compressor:
 
         return jax.jit(rt, static_argnames=("bits",))
 
+    @functools.lru_cache(maxsize=8)
+    def _refine_fn(self, steps: int, lr: float, bits: Optional[int]):
+        from .refine import make_refiner
+
+        def synthesis(gen_vars, w):
+            return self.generator.apply(gen_vars, w, method="synthesis")
+
+        return make_refiner(synthesis, steps=steps, lr=lr, bits=bits)
+
+    def refine(self, w0, target, steps: int = 64, lr: float = 0.02,
+               quantization_bits: Optional[int] = None,
+               chunk: Optional[int] = 4) -> jnp.ndarray:
+        """Encode-time inversion refinement: N jitted Adam steps on W+
+        minimising MSE(synthesis(w), target), starting from ``w0`` (usually
+        the encoder's means).  Same rate, lower distortion — see
+        ``codec/refine.py``.  ``quantization_bits`` enables straight-through
+        quantization-aware refinement.
+
+        ``chunk`` bounds the device batch per refinement call: the backward
+        pass through the full synthesis stack holds every layer's
+        activations, so large eval batches OOM where the forward-only encode
+        does not (whole-tower remat does not reduce peak HBM here — see
+        train/stage1.py:67).  Chunks of equal size reuse one compiled
+        program; a trailing ragged chunk compiles once more."""
+        fn = self._refine_fn(int(steps), float(lr),
+                             None if quantization_bits is None
+                             else int(quantization_bits))
+        target = jnp.asarray(target)
+        n = w0.shape[0]
+        if chunk is None or n <= chunk:
+            return fn(self.generator_vars, w0, target)
+        outs = [fn(self.generator_vars, w0[i:i + chunk], target[i:i + chunk])
+                for i in range(0, n, chunk)]
+        return jnp.concatenate(outs, axis=0)
+
     def _next_sample_key(self) -> jax.Array:
         """Fresh key for stochastic encodes when the caller supplied none."""
         key = jax.random.fold_in(jax.random.PRNGKey(0), self._sample_counter)
@@ -176,11 +211,28 @@ class Compressor:
 
     def compress(self, x, quantization_bits=8,
                  deterministic: bool = True,
-                 sample_key: Optional[jax.Array] = None) -> jnp.ndarray:
+                 sample_key: Optional[jax.Array] = None,
+                 refine_steps: int = 0,
+                 refine_lr: float = 0.02,
+                 refine_quantization_aware: bool = False) -> jnp.ndarray:
         """Image -> quantized W+ on the 2**bits grid (dequantized floats).
 
         ``quantization_bits`` may be a per-W-layer sequence (length num_ws)
-        for the guide's variable bit-allocation scheme."""
+        for the guide's variable bit-allocation scheme.  ``refine_steps`` > 0
+        runs that many Adam steps of encode-time inversion refinement on W+
+        before quantization (slower encode, strictly better distortion at
+        the same rate; decode is unchanged)."""
+        if refine_steps:
+            w = self.encode(x, deterministic=deterministic,
+                            sample_key=sample_key)
+            qa_bits = (int(quantization_bits) if refine_quantization_aware
+                       and isinstance(quantization_bits, (int, np.integer))
+                       else None)
+            w = self.refine(w, x, steps=refine_steps, lr=refine_lr,
+                            quantization_bits=qa_bits)
+            if isinstance(quantization_bits, (int, np.integer)):
+                return quantize_uniform(w, int(quantization_bits))
+            return quantize_uniform_per_layer(w, tuple(quantization_bits))
         if not isinstance(quantization_bits, (int, np.integer)):
             w = self.encode(x, deterministic=deterministic,
                             sample_key=sample_key)
@@ -208,14 +260,18 @@ class Compressor:
 
     def save_compressed(
         self, x, filename: str, quantization_bits=8,
-        deterministic: bool = True,
+        deterministic: bool = True, refine_steps: int = 0,
+        refine_lr: float = 0.02,
     ) -> Tuple[int, float, float]:
         """Compress and write the `.npz` container; returns
         (orig_size, comp_size, ratio) with the reference's formulas.
         Scalar ``quantization_bits`` keeps exact container parity; a per-layer
-        sequence stores the allocation in the ``bits`` key."""
+        sequence stores the allocation in the ``bits`` key.  ``refine_steps``
+        enables encode-time refinement (container format unchanged)."""
         w_q = np.asarray(
-            self.compress(x, quantization_bits, deterministic), np.float32
+            self.compress(x, quantization_bits, deterministic,
+                          refine_steps=refine_steps, refine_lr=refine_lr),
+            np.float32,
         )
         orig_size = int(np.prod(x.shape)) * 4           # fp32 pixel bytes
         if isinstance(quantization_bits, (int, np.integer)):

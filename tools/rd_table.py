@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--n-calib", type=int, default=48)
     ap.add_argument("--truncation", type=float, default=0.7)
     ap.add_argument("--n-embeddings", type=int, default=256)
+    ap.add_argument("--refine", type=int, default=0,
+                    help="encode-time refinement steps; adds refined rows "
+                         "(same rate, distortion from inversion optimised "
+                         "through the frozen generator)")
+    ap.add_argument("--refine-lr", type=float, default=0.02)
     ap.add_argument("--alloc-sweep", action="store_true",
                     help="sweep per-layer bit allocations vs flat rows and "
                          "report the RD frontier "
@@ -142,6 +147,30 @@ def main():
     comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
+
+    if args.refine:
+        # Encode-time inversion refinement (codec/refine.py): same container,
+        # same rate — the rows isolate how much of the distortion was
+        # amortised-inference error vs quantization error.
+        w0 = uni.encode(x_eval, deterministic=True)
+        w_ref = uni.refine(w0, x_eval, steps=args.refine, lr=args.refine_lr)
+        from image_compression_2_tpu.quant.uniform import quantize_uniform
+
+        for bits in (4, 8):
+            w = quantize_uniform(w_ref, bits)
+            comp = w.size / args.n_eval * bits / 8
+            name = f"uniform-{bits}bit+refine{args.refine}"
+            rows[name] = metrics(x_eval, uni.decompress(w), comp)
+            print(f"{name}: {rows[name]}", flush=True)
+        # quantization-aware variant at 4 bits (straight-through rounding in
+        # the refinement loss) — matters once distortion responds to rate
+        w_qa = uni.refine(w0, x_eval, steps=args.refine, lr=args.refine_lr,
+                          quantization_bits=4)
+        w = quantize_uniform(w_qa, 4)
+        comp = w.size / args.n_eval * 4 / 8
+        name = f"uniform-4bit+refine{args.refine}-qa"
+        rows[name] = metrics(x_eval, uni.decompress(w), comp)
+        print(f"{name}: {rows[name]}", flush=True)
 
     sweep_note = ""
     if args.alloc_sweep:
