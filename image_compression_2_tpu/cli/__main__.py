@@ -189,9 +189,11 @@ def cmd_compress(args):
     t0 = time.time()
     if method == "cabac":
         orig, comp, ratio = codec.save_compressed(
-            x, args.output, use_cabac=not args.no_cabac)
+            x, args.output, use_cabac=not args.no_cabac,
+            refine_steps=args.refine_steps)
     elif method == "gumbel":
-        orig, comp, ratio = codec.save_compressed(x, args.output)
+        orig, comp, ratio = codec.save_compressed(
+            x, args.output, refine_steps=args.refine_steps)
     else:
         orig, comp, ratio = codec.save_compressed(
             x, args.output, quantization_bits=_parse_bits(args.bits),
@@ -511,7 +513,7 @@ def main(argv=None):
                    default="auto")
     p.add_argument("--refine-steps", type=int, default=0,
                    help="encode-time inversion refinement steps on W+ "
-                        "(uniform method; slower encode, better quality at "
+                        "(all methods; slower encode, better quality at "
                         "the same rate)")
     p.add_argument("--bits", type=str, default="8",
                    help="bit depth, or a comma list for per-W-layer "

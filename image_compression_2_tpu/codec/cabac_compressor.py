@@ -48,13 +48,18 @@ class CABACCompressor(GumbelCompressor):
 
     priors: Optional[np.ndarray] = None
 
-    def calibrate(self, images, batch_size: int = 8) -> np.ndarray:
+    def calibrate(self, images, batch_size: int = 8,
+                  refine_steps: int = 0) -> np.ndarray:
+        """``refine_steps`` must match the intended encode setting: refined
+        latents have tighter per-position statistics, so a prior built from
+        unrefined codes under-models them (and vice versa)."""
         from ..coding import build_prior
 
         all_codes = []
         n = images.shape[0]
         for i in range(0, n, batch_size):
-            all_codes.append(np.asarray(super().compress(images[i:i + batch_size])))
+            all_codes.append(np.asarray(super().compress(
+                images[i:i + batch_size], refine_steps=refine_steps)))
         self.priors = build_prior(np.concatenate(all_codes), self.n_embeddings)
         return self.priors
 
@@ -69,9 +74,13 @@ class CABACCompressor(GumbelCompressor):
         self.priors = np.asarray(data["priors"], np.uint16)
 
     def compress_entropy(
-        self, x, use_cabac: bool = True, use_priors: Optional[bool] = None
+        self, x, use_cabac: bool = True, use_priors: Optional[bool] = None,
+        refine_steps: int = 0, refine_lr: float = 0.02,
     ) -> Tuple[bytes, Dict]:
-        """Image batch -> (payload bytes, metadata)."""
+        """Image batch -> (payload bytes, metadata).  ``refine_steps``
+        enables encode-time inversion refinement before discretization
+        (codec/refine.py) — the entropy-coded stream and decode path are
+        unchanged."""
         if use_priors is None:
             use_priors = self.priors is not None
         elif use_priors and self.priors is None:
@@ -79,7 +88,8 @@ class CABACCompressor(GumbelCompressor):
                 "use_priors=True but no prior table is loaded — call "
                 "calibrate(images) or load_priors(file) first"
             )
-        codes = np.asarray(super().compress(x), np.int32)
+        codes = np.asarray(super().compress(
+            x, refine_steps=refine_steps, refine_lr=refine_lr), np.int32)
         orig_size = codes.size * np.log2(self.n_embeddings) / 8  # raw index B
         stream_lengths = None
         if use_cabac:
@@ -170,14 +180,15 @@ class CABACCompressor(GumbelCompressor):
 
     def save_compressed(  # type: ignore[override]
         self, x, filename: str, use_cabac: bool = True,
-        embed_priors: bool = False,
+        embed_priors: bool = False, refine_steps: int = 0,
     ) -> Tuple[float, int, float]:
         """``embed_priors=True`` writes a SELF-CONTAINED container (v3): the
         zlib-compressed prior table rides inside the file, so a priors-coded
         stream decodes on a fresh codec without the separately-shipped
         bundle.  Default stays the lean external-bundle mode (the table is
         ~100x the payload for single images)."""
-        payload, metadata = self.compress_entropy(x, use_cabac=use_cabac)
+        payload, metadata = self.compress_entropy(
+            x, use_cabac=use_cabac, refine_steps=refine_steps)
         blob = None
         if embed_priors and metadata.get("use_priors"):
             blob = zlib.compress(

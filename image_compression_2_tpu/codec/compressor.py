@@ -151,40 +151,23 @@ class Compressor:
 
         return jax.jit(rt, static_argnames=("bits",))
 
-    @functools.lru_cache(maxsize=8)
-    def _refine_fn(self, steps: int, lr: float, bits: Optional[int]):
-        from .refine import make_refiner
-
-        def synthesis(gen_vars, w):
-            return self.generator.apply(gen_vars, w, method="synthesis")
-
-        return make_refiner(synthesis, steps=steps, lr=lr, bits=bits)
-
     def refine(self, w0, target, steps: int = 64, lr: float = 0.02,
                quantization_bits: Optional[int] = None,
                chunk: Optional[int] = 4) -> jnp.ndarray:
         """Encode-time inversion refinement: N jitted Adam steps on W+
         minimising MSE(synthesis(w), target), starting from ``w0`` (usually
-        the encoder's means).  Same rate, lower distortion — see
-        ``codec/refine.py``.  ``quantization_bits`` enables straight-through
-        quantization-aware refinement.
+        the encoder's means).  Same rate, lower distortion; chunked to bound
+        backward-pass HBM — see ``codec/refine.py::refine_latents``.
+        ``quantization_bits`` enables straight-through quantization-aware
+        refinement on the 2**bits uniform grid."""
+        from .refine import refine_latents
 
-        ``chunk`` bounds the device batch per refinement call: the backward
-        pass through the full synthesis stack holds every layer's
-        activations, so large eval batches OOM where the forward-only encode
-        does not (whole-tower remat does not reduce peak HBM here — see
-        train/stage1.py:67).  Chunks of equal size reuse one compiled
-        program; a trailing ragged chunk compiles once more."""
-        fn = self._refine_fn(int(steps), float(lr),
-                             None if quantization_bits is None
-                             else int(quantization_bits))
-        target = jnp.asarray(target)
-        n = w0.shape[0]
-        if chunk is None or n <= chunk:
-            return fn(self.generator_vars, w0, target)
-        outs = [fn(self.generator_vars, w0[i:i + chunk], target[i:i + chunk])
-                for i in range(0, n, chunk)]
-        return jnp.concatenate(outs, axis=0)
+        return refine_latents(
+            self.generator, self.generator_vars, w0, target,
+            steps=steps, lr=lr,
+            levels=None if quantization_bits is None
+            else 1 << int(quantization_bits),
+            chunk=chunk)
 
     def _next_sample_key(self) -> jax.Array:
         """Fresh key for stochastic encodes when the caller supplied none."""

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from ..core.config import EncoderConfig, GeneratorConfig, Precision
 from ..models.encoder import HVAEEncoder
 from ..models.generator import Generator
-from ..quant.gumbel import GumbelSoftmaxDiscretization, lookup_codebook
+from ..quant.gumbel import (
+    GumbelSoftmaxDiscretization,
+    codebook_indices,
+    lookup_codebook,
+)
 
 
 class GumbelCompressor:
@@ -109,6 +113,14 @@ class GumbelCompressor:
         return jax.jit(compress)
 
     @functools.cached_property
+    def _means_fn(self):
+        def means(enc_vars, x):
+            _, m, _ = self.encoder.apply(enc_vars, x, None)
+            return m
+
+        return jax.jit(means)
+
+    @functools.cached_property
     def _decompress_fn(self):
         def decompress(gen_vars, codes):
             w_disc = lookup_codebook(codes, self.n_embeddings)
@@ -131,9 +143,36 @@ class GumbelCompressor:
         codes = self._compress_fn(self.encoder_vars, self.disc_vars, x)
         return lookup_codebook(codes, self.n_embeddings)
 
-    def compress(self, x) -> jnp.ndarray:
-        """Image -> integer codebook indices [B, num_ws, w_dim] (int32)."""
-        codes = self._compress_fn(self.encoder_vars, self.disc_vars, x)
+    def refine(self, w0, target, steps: int = 64, lr: float = 0.02,
+               quantization_aware: bool = True,
+               chunk: Optional[int] = 4) -> jnp.ndarray:
+        """Encode-time inversion refinement of W+ against the frozen
+        generator (codec/refine.py).  With ``quantization_aware`` the loss
+        sees the straight-through nearest-codebook projection, i.e. it
+        optimises the exact grid point the discrete decode will use (the
+        Gumbel codebook is linspace(-1, 1, n_embeddings) — quant/gumbel.py)."""
+        from .refine import refine_latents
+
+        return refine_latents(
+            self.generator, self.generator_vars, w0, target,
+            steps=steps, lr=lr,
+            levels=self.n_embeddings if quantization_aware else None,
+            chunk=chunk)
+
+    def compress(self, x, refine_steps: int = 0,
+                 refine_lr: float = 0.02) -> jnp.ndarray:
+        """Image -> integer codebook indices [B, num_ws, w_dim] (int32).
+
+        ``refine_steps`` > 0 runs encode-time inversion refinement on the
+        encoder means before the nearest-codebook projection: same index
+        tensor shape and entropy-coding path, strictly better distortion
+        (slower encode; decode unchanged)."""
+        if refine_steps:
+            w = self.refine(self._means_fn(self.encoder_vars, x), x,
+                            steps=refine_steps, lr=refine_lr)
+            codes = codebook_indices(w, self.n_embeddings)
+        else:
+            codes = self._compress_fn(self.encoder_vars, self.disc_vars, x)
         self.usage += np.bincount(
             np.asarray(codes).reshape(-1), minlength=self.n_embeddings
         ).astype(np.int64)
@@ -146,8 +185,10 @@ class GumbelCompressor:
         total = self.usage.sum()
         return self.usage / total if total > 0 else self.usage.astype(np.float64)
 
-    def save_compressed(self, x, filename: str) -> Tuple[int, float, float]:
-        codes = np.asarray(self.compress(x), np.int32)
+    def save_compressed(self, x, filename: str,
+                        refine_steps: int = 0) -> Tuple[int, float, float]:
+        codes = np.asarray(self.compress(x, refine_steps=refine_steps),
+                           np.int32)
         orig_size = int(np.prod(x.shape)) * 4
         comp_size = codes.size * (np.log2(self.n_embeddings) / 8)
         ratio = orig_size / comp_size

@@ -18,6 +18,7 @@ ONE device program (`lax.scan` over steps, no host round-trips).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -29,7 +30,7 @@ def make_refiner(
     apply_fn,
     steps: int = 64,
     lr: float = 0.02,
-    bits: Optional[int] = None,
+    levels: Optional[int] = None,
 ):
     """Build a jitted ``refine(gen_vars, w0, target) -> w`` closure.
 
@@ -38,10 +39,13 @@ def make_refiner(
     the target's, the synthesised image is bilinearly resized to the target
     grid (the same comparison the codec's ``forward`` makes).
 
-    With ``bits`` set, the quantizer runs inside the loss with a
-    straight-through gradient, so at coarse bit-widths the optimisation
-    targets the dequantized grid point the decoder will actually see rather
-    than the pre-quantization latent.
+    With ``levels`` set, quantization to the linspace(-1, 1, levels) grid
+    runs inside the loss with a straight-through gradient, so at coarse
+    bit-widths the optimisation targets the dequantized grid point the
+    decoder will actually see rather than the pre-quantization latent.
+    ``levels = 2**bits`` matches ``quant.uniform.quantize_uniform``;
+    ``levels = n_embeddings`` matches the Gumbel scalar codebook
+    (``quant.gumbel``) — the two quantizers share the grid.
 
     The loop runs fp32 on the latent regardless of the synthesis compute
     dtype — W+ is the quantity being optimised and then quantized, so it
@@ -50,10 +54,10 @@ def make_refiner(
     opt = optax.adam(lr)
 
     def loss_fn(w, gen_vars, target):
-        if bits is not None:
-            from ..quant.uniform import quantize_uniform
-
-            w = w + jax.lax.stop_gradient(quantize_uniform(w, bits) - w)
+        if levels is not None:
+            scale = levels - 1
+            wq = (jnp.round((w + 1.0) * 0.5 * scale) / scale) * 2.0 - 1.0
+            w = w + jax.lax.stop_gradient(wq - w)
         img = apply_fn(gen_vars, w)
         if img.shape[1] != target.shape[1]:
             img = jax.image.resize(
@@ -84,3 +88,46 @@ def make_refiner(
         return w
 
     return refine
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_refiner(generator, steps: int, lr: float, levels: Optional[int]):
+    """One compiled refiner per (generator module, hyperparams) — flax
+    modules are frozen dataclasses, so they key the cache; parameters are
+    passed per call."""
+
+    def synthesis(gen_vars, w):
+        return generator.apply(gen_vars, w, method="synthesis")
+
+    return make_refiner(synthesis, steps=steps, lr=lr, levels=levels)
+
+
+def refine_latents(
+    generator,
+    gen_vars,
+    w0,
+    target,
+    steps: int = 64,
+    lr: float = 0.02,
+    levels: Optional[int] = None,
+    chunk: Optional[int] = 4,
+) -> jnp.ndarray:
+    """Shared encode-time refinement entry for every codec class.
+
+    ``chunk`` bounds the device batch per refinement call: the backward pass
+    through the full synthesis stack holds every layer's activations, so
+    large eval batches OOM where the forward-only encode does not
+    (whole-tower remat does not reduce peak HBM here — see
+    train/stage1.py:67).  The loss sums per-sample means, so chunked
+    execution follows the identical Adam trajectory; chunks of equal size
+    reuse one compiled program (a trailing ragged chunk compiles once more).
+    """
+    fn = _cached_refiner(generator, int(steps), float(lr),
+                         None if levels is None else int(levels))
+    target = jnp.asarray(target)
+    n = w0.shape[0]
+    if chunk is None or n <= chunk:
+        return fn(gen_vars, w0, target)
+    outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk])
+            for i in range(0, n, chunk)]
+    return jnp.concatenate(outs, axis=0)

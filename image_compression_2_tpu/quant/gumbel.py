@@ -96,6 +96,16 @@ def lookup_codebook(indices: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
     return codebook[indices]
 
 
+def codebook_indices(w: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
+    """Nearest-codebook index per element (the encode side for latents that
+    did not come through the discretization module, e.g. refined W+).  For
+    the uniform linspace(-1, 1, N) codebook, nearest-neighbour equals
+    rounding on the [0, N-1] level scale with edge clipping."""
+    scale = n_embeddings - 1
+    w01 = jnp.clip((w + 1.0) * 0.5, 0.0, 1.0)
+    return jnp.round(w01 * scale).astype(jnp.int32)
+
+
 def usage_histogram(indices: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
     """Count codebook usage for a batch of index tensors (device-side)."""
     return jnp.bincount(indices.reshape(-1), length=n_embeddings)

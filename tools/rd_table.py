@@ -148,6 +148,7 @@ def main():
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
 
+    w_ref = None
     if args.refine:
         # Encode-time inversion refinement (codec/refine.py): same container,
         # same rate — the rows isolate how much of the distortion was
@@ -220,6 +221,47 @@ def main():
                 "\n\nNo per-layer allocation dominates a flat row at this "
                 "operating point (distortion not yet rate-limited).\n")
 
+        if w_ref is not None:
+            # The same sweep on REFINED latents: refinement removes the
+            # amortised-inversion floor, so distortion responds to rate
+            # again and the allocation question becomes meaningful.
+            # Dominance is judged refined-vs-refined only.
+            from image_compression_2_tpu.quant.uniform import (
+                quantize_uniform, quantize_uniform_per_layer)
+
+            rsweep = {}
+            for name, alloc in candidates.items():
+                w = quantize_uniform_per_layer(w_ref, alloc)
+                comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
+                rname = f"{name}+refine{args.refine}"
+                rsweep[rname] = metrics(x_eval, uni.decompress(w), comp)
+                print(f"{rname}: {rsweep[rname]}", flush=True)
+            for bits in (3, 5, 6):
+                w = quantize_uniform(w_ref, bits)
+                comp = w.size / args.n_eval * bits / 8
+                rname = f"flat-{bits}bit+refine{args.refine}"
+                rsweep[rname] = metrics(x_eval, uni.decompress(w), comp)
+                print(f"{rname}: {rsweep[rname]}", flush=True)
+            refined_flat = {
+                n: m for n, m in {**rows, **rsweep}.items()
+                if "+refine" in n and n.startswith(("flat", "uniform"))
+                and not n.endswith("-qa")
+            }
+            rdominated = [
+                (pn, fn) for pn, pm in rsweep.items() if pn.startswith("alloc")
+                for fn, fm in refined_flat.items()
+                if pm["psnr"] >= fm["psnr"] and pm["bpp"] < fm["bpp"]
+            ]
+            rows.update(rsweep)
+            if rdominated:
+                sweep_note += (
+                    "\nRefined per-layer allocations dominating a refined "
+                    "flat row (>= PSNR at < bpp): "
+                    + "; ".join(f"{p} > {f}" for p, f in rdominated) + "\n")
+            else:
+                sweep_note += ("\nNo refined per-layer allocation dominates "
+                               "a refined flat row.\n")
+
     if args.stage2 and os.path.exists(args.stage2):
         raw2, meta2 = load_checkpoint(args.stage2)
         p2 = raw2["params"]
@@ -252,6 +294,31 @@ def main():
             meta["comp_size"] / args.n_eval)
         rows["gumbel+cabac+priors"]["codec"] = meta["codec"]
         print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}", flush=True)
+
+        if args.refine:
+            # Refined latents through the SAME discrete container: the
+            # quantization-aware refinement (levels = codebook size) plus
+            # nearest-codebook projection, then CABAC.  Priors are
+            # recalibrated on refined codes — refined statistics are tighter,
+            # so an unrefined prior table under-models them.
+            name = f"gumbel+cabac+refine{args.refine}"
+            payload, meta = cab.compress_entropy(
+                x_eval, use_cabac=True, use_priors=False,
+                refine_steps=args.refine, refine_lr=args.refine_lr)
+            rows[name] = metrics(x_eval, cab.decompress_entropy(payload, meta),
+                                 meta["comp_size"] / args.n_eval)
+            rows[name]["codec"] = meta["codec"]
+            print(f"{name}: {rows[name]}", flush=True)
+
+            cab.calibrate(x_calib, refine_steps=args.refine)
+            name = f"gumbel+cabac+priors+refine{args.refine}"
+            payload, meta = cab.compress_entropy(
+                x_eval, use_cabac=True, use_priors=True,
+                refine_steps=args.refine, refine_lr=args.refine_lr)
+            rows[name] = metrics(x_eval, cab.decompress_entropy(payload, meta),
+                                 meta["comp_size"] / args.n_eval)
+            rows[name]["codec"] = meta["codec"]
+            print(f"{name}: {rows[name]}", flush=True)
 
     header = (f"# Rate-distortion table — {res}², {args.n_eval} HELD-OUT "
               f"samples (seed {args.eval_seed}, psi={args.truncation})\n\n"
