@@ -46,7 +46,9 @@ def filtered_lrelu(
 
     ``mode``: 'conv' (depthwise convs — linear in plane size, VPU-bound),
     'matmul' (banded-operator MXU matmuls — ~10x faster than conv on the
-    hot 256² layers but quadratic in plane size), 'mmfuse' (matmul H
+    hot 256² layers but quadratic in plane size), 'sandwich' (matmul with
+    the down stage contracting W before H — avoids a relayout of the
+    oversampled intermediate; measured win on up-4 layers), 'mmfuse' (matmul H
     passes around ONE Pallas kernel fusing W-up → lrelu → W-down, so the
     2x-oversampled intermediate never round-trips HBM;
     ``pallas_flrelu_wfuse``), 'tiled' (the fused H-tiled Pallas kernel,
@@ -107,17 +109,25 @@ def filtered_lrelu(
         if not auto:
             raise ValueError("no legal tiling for this geometry")
         mode = "matmul"  # stale policy entry: degrade, don't crash
-    use_mm = mode == "matmul" or (
+    use_mm = mode in ("matmul", "sandwich") or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )
+    if mode == "sandwich" and not separable:
+        raise ValueError("mode='sandwich' requires separable 1-D filters")
     if use_mm:
         import functools
 
         up_op = functools.partial(upfirdn2d_mm, fp32_mxu=fp32_mxu)
+        # sandwich: the down stage contracts W first — its input is the 2x
+        # oversampled intermediate whose layout XLA just wrote, and the
+        # W-first order avoids a relayout there (measured win on up-4
+        # layers, tools/bench_fir_variants.py).
+        down_op = (functools.partial(up_op, order="wh")
+                   if mode == "sandwich" else up_op)
     else:
-        up_op = upfirdn2d
+        up_op = down_op = upfirdn2d
     x = bias_act(x, b)
     x = up_op(x, fu, up=up, padding=(px0, px1, py0, py1), gain=up ** 2)
     x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
-    x = up_op(x, fd, down=down)
+    x = down_op(x, fd, down=down)
     return x

@@ -75,10 +75,20 @@ def upfirdn2d_mm(
     padding: Padding = 0,
     gain: float = 1.0,
     fp32_mxu=None,
+    order: str = "hw",
 ) -> jnp.ndarray:
     """Matmul-path upfirdn2d; same contract as ``upfirdn2d`` (separable or
-    identity filters)."""
+    identity filters).
+
+    ``order``: which axis the first banded matmul contracts.  The two passes
+    commute exactly (both are linear), but NOT in wall time: the W operator
+    touches the tensor XLA just produced with the minor dims intact, so
+    ``'wh'`` (W first) is measurably faster on downsampling stages whose
+    input is the 2x-oversampled intermediate (the 'sandwich' layout win from
+    ``tools/bench_fir_variants.py``).
+    """
     assert x.ndim == 4
+    assert order in ("hw", "wh"), order
     px0, px1, py0, py1 = _parse_padding(padding)
     if f is None:
         f = np.ones([1], np.float32)
@@ -88,4 +98,6 @@ def upfirdn2d_mm(
     # 2D gain: apply the full gain in the first (H) pass like the conv path.
     A_h = fir_matrix(f, H, up, down, py0, py1, gain)
     A_w = fir_matrix(f, W, up, down, px0, px1, 1.0)
+    if order == "wh":
+        return _apply_h(_apply_w(x, A_w, fp32_mxu), A_h, fp32_mxu)
     return _apply_w(_apply_h(x, A_h, fp32_mxu), A_w, fp32_mxu)

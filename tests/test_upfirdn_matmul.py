@@ -48,3 +48,30 @@ def test_filtered_lrelu_modes_agree():
     au = np.asarray(filtered_lrelu(x, fu, fd, b, mode="auto", **kw))
     np.testing.assert_allclose(a, m, rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(m, au)  # auto picks matmul here
+
+
+def test_filtered_lrelu_sandwich_agrees():
+    # sandwich = matmul with the down stage contracting W before H; the two
+    # banded operators commute exactly, so outputs must agree to fp rounding
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 11, 9, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    fu = design_lowpass_filter(24, 0.35, 0.4, 8.0)  # up-4 geometry: the case
+    fd = design_lowpass_filter(12, 0.35, 0.4, 8.0)  # the sandwich order wins
+    kw = dict(up=4, down=2, padding=(9, 8, 8, 9))
+    m = np.asarray(filtered_lrelu(x, fu, fd, b, mode="matmul", **kw))
+    s = np.asarray(filtered_lrelu(x, fu, fd, b, mode="sandwich", **kw))
+    assert m.shape == s.shape
+    np.testing.assert_allclose(m, s, rtol=2e-5, atol=2e-5)
+
+
+def test_upfirdn2d_mm_order_wh_matches_hw():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 13, 11, 5).astype(np.float32))
+    f = design_lowpass_filter(12, 0.3, 0.3, 4.0)
+    a = np.asarray(upfirdn2d_mm(x, f, up=2, down=2, padding=(4, 3, 3, 4),
+                                gain=1.3))
+    b = np.asarray(upfirdn2d_mm(x, f, up=2, down=2, padding=(4, 3, 3, 4),
+                                gain=1.3, order="wh"))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
