@@ -266,8 +266,14 @@ def _arch_from_ckpt(resume_from: Optional[str]) -> Dict:
     """Encoder-architecture knobs recorded in a checkpoint's meta, so a
     resumed/warm-started run reconstructs the exact encoder without the
     caller re-specifying --pool-grids/--hidden-dims/--block-split."""
-    if resume_from is None or not os.path.exists(resume_from):
+    if resume_from is None:
         return {}
+    if not os.path.exists(resume_from):
+        # A missing warm-start file must be loud: silently training from
+        # scratch with the default architecture produces a wrong-lineage
+        # checkpoint that wastes hours of chip time before anyone notices.
+        raise FileNotFoundError(
+            f"--resume checkpoint not found: {resume_from}")
     _, meta = load_checkpoint(resume_from)
     cfg = meta.get("config", {})
     out = {}
@@ -344,7 +350,7 @@ def train_hvae_encoder(
     )
 
     start_epoch = 0
-    if resume_from is not None and os.path.exists(resume_from):
+    if resume_from is not None:
         restored, meta = load_checkpoint(resume_from, target=setup.state)
         setup.state = restored
         start_epoch = meta.get("epoch", -1) + 1
@@ -434,7 +440,7 @@ def train_gumbel_hvae(
     encoder_params = None
     start_epoch = 0
     resume_state = None
-    if resume_from is not None and os.path.exists(resume_from):
+    if resume_from is not None:
         raw, meta = load_checkpoint(resume_from)
         params = raw["params"]
         if "discretization" in params:  # stage-2 checkpoint: full resume

@@ -203,3 +203,33 @@ def test_stage1_synthetic_val_split(tmp_path):
     )
     assert "val_loss" in history and np.isfinite(history["val_loss"]).all()
     assert "val_rec_loss" in history
+
+
+def test_missing_resume_checkpoint_is_a_hard_error(tmp_path):
+    """A missing --resume file must raise, not silently train from scratch
+    (a silent skip once produced a wrong-lineage stage-2 checkpoint after a
+    host restart wiped the stage-1 file mid-chain)."""
+    gen_cfg, enc_cfg = _cfgs()
+    missing = str(tmp_path / "nope.ic2t")
+    with pytest.raises(FileNotFoundError):
+        train_hvae_encoder(
+            output_dir=str(tmp_path / "o1"), training_resolution=RES,
+            batch_size=4, num_epochs=1, train_samples=8,
+            generator_cfg=gen_cfg, encoder_cfg=enc_cfg, use_lpips=False,
+            seed=0, resume_from=missing,
+        )
+    with pytest.raises(FileNotFoundError):
+        train_gumbel_hvae(
+            output_dir=str(tmp_path / "o2"), training_resolution=RES,
+            batch_size=4, num_epochs=1, train_samples=8,
+            generator_cfg=gen_cfg, encoder_cfg=enc_cfg, use_lpips=False,
+            seed=0, resume_from=missing,
+        )
+    # arch adoption path (encoder_cfg=None) raises before any model setup
+    with pytest.raises(FileNotFoundError):
+        train_hvae_encoder(
+            output_dir=str(tmp_path / "o3"), training_resolution=RES,
+            batch_size=4, num_epochs=1, train_samples=8,
+            generator_cfg=gen_cfg, use_lpips=False, seed=0,
+            resume_from=missing,
+        )
