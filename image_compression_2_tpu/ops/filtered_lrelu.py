@@ -51,7 +51,10 @@ def filtered_lrelu(
     oversampled intermediate; measured win on up-4 layers), 'mmfuse' (matmul H
     passes around ONE Pallas kernel fusing W-up → lrelu → W-down, so the
     2x-oversampled intermediate never round-trips HBM;
-    ``pallas_flrelu_wfuse``), 'tiled' (the fused H-tiled Pallas kernel,
+    ``pallas_flrelu_wfuse``), 'mmfuse2' (the transpose-free variant of
+    mmfuse: native-layout MXU contractions, NHWC in, channels-before-width
+    out, restored by the closing H-down einsum; ``pallas_flrelu_wfuse2``),
+    'tiled' (the fused H-tiled Pallas kernel,
     ``pallas_flrelu_tiled`` — one HBM read + one write per plane instead
     of four roundtrips), or 'auto' (the measured per-geometry winner from
     ``flrelu_policy.json``; matmul for unbenchmarked separable-resampling
@@ -87,6 +90,22 @@ def filtered_lrelu(
             )
         if not auto:
             raise ValueError("no legal wfuse block for this geometry")
+        mode = "matmul"  # stale policy entry: degrade, don't crash
+    if mode == "mmfuse2":
+        if not (separable and (up > 1 or down > 1)):
+            raise ValueError(
+                "mode='mmfuse2' requires separable 1-D filters and up/down > 1")
+        from .pallas_flrelu_wfuse2 import filtered_lrelu_wfuse2, fits_wfuse2
+
+        B, H, W, C = x.shape
+        if fits_wfuse2(B, H, W, C, up, down, tu, td,
+                       (px0, px1, py0, py1), dtype=x.dtype):
+            return filtered_lrelu_wfuse2(
+                x, fu, fd, b, up=up, down=down, padding=padding,
+                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
+            )
+        if not auto:
+            raise ValueError("no legal wfuse2 block for this geometry")
         mode = "matmul"  # stale policy entry: degrade, don't crash
     if mode == "tiled":
         if not (separable and (up > 1 or down > 1)):

@@ -1,0 +1,165 @@
+"""Transpose-free W-middle-fused Pallas filtered-lrelu (mode='mmfuse2'):
+golden equality vs the conv/matmul references and gradient parity
+(interpret mode on CPU; compiled-path timing happens on the real TPU via
+bench_flrelu_layers)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_compression_2_tpu.ops import design_lowpass_filter, filtered_lrelu
+from image_compression_2_tpu.ops import pallas_flrelu_wfuse2 as wf2
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return real_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    wf2._build_call.cache_clear()
+    yield
+    wf2._build_call.cache_clear()
+
+
+def _filters(tu, td):
+    fu = design_lowpass_filter(tu, 0.4, 0.4, 4.0)
+    fd = design_lowpass_filter(td, 0.4, 0.4, 4.0)
+    return fu, fd
+
+
+def test_plan_feasibility():
+    # the 256-config hot layer fits
+    assert wf2.fits_wfuse2(8, 278, 278, 181, 2, 2, 12, 12, (9, 8, 9, 8))
+    # grotesquely wide geometry has no legal block
+    assert not wf2.fits_wfuse2(1, 8192, 8192, 512, 2, 2, 12, 12, 0)
+
+
+def test_matches_reference_up2_down2():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 20, 20, 128).astype(np.float32))
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, b, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, b, mode="mmfuse2", **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_matches_reference_negative_padding_up4():
+    # the u4d2 critically-sampled layers crop via negative padding
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 22, 22, 72).astype(np.float32))
+    fu, fd = _filters(24, 12)
+    kw = dict(up=4, down=2, padding=(-6, -9, -6, -9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, None, mode="matmul", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, None, mode="mmfuse2", **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_matches_reference_torgb_semantics():
+    # torgb layers: slope=1, gain=1 (pure linear resampling + clamp)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), gain=1.0, slope=1.0,
+              clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, b, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, b, mode="mmfuse2", **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_odd_channel_and_height_blocks():
+    # C and H2 not multiples of the block dims exercise grid padding
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 13, 13, 137).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, None, mode="conv", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, None, mode="mmfuse2", **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_auto_mode_routes_mmfuse2_policy_winner(monkeypatch, tmp_path):
+    """A measured 'mmfuse2' policy row routes mode='auto' into the v2
+    kernel; on the CPU backend without the force flag it degrades to
+    matmul like every Pallas winner."""
+    import json
+
+    from image_compression_2_tpu.ops import flrelu_policy as fp
+
+    H = W = 20
+    C = 128
+    pad = (9, 8, 8, 9)
+    key = fp.geometry_key(1, H, W, C, 2, 2, 12, 12, pad)
+    pfile = tmp_path / "policy.json"
+    pfile.write_text(json.dumps({"winners": {key: "mmfuse2"}}))
+    monkeypatch.setattr(fp, "_POLICY_FILE", str(pfile))
+    monkeypatch.setattr(fp, "_policy", None)
+    monkeypatch.setattr(fp, "FORCE_PALLAS_ON_CPU", True)
+
+    calls = []
+    real = wf2.filtered_lrelu_wfuse2
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        "image_compression_2_tpu.ops.pallas_flrelu_wfuse2."
+        "filtered_lrelu_wfuse2", spy)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    out = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="auto")
+    assert calls, "policy winner 'mmfuse2' was not used"
+    ref = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                         mode="matmul")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+    # without the force flag, the CPU backend degrades the winner
+    monkeypatch.setattr(fp, "FORCE_PALLAS_ON_CPU", False)
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel must not run on CPU auto path")
+
+    monkeypatch.setattr(
+        "image_compression_2_tpu.ops.pallas_flrelu_wfuse2."
+        "filtered_lrelu_wfuse2", boom)
+    out2 = filtered_lrelu(x, fu, fd, None, up=2, down=2, padding=pad,
+                          mode="auto")
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_gradients_match_matmul_path():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 12, 12, 64).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    # tight clamp so the clamp-mask branch of the VJP is exercised
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=1.5)
+
+    def loss(mode):
+        def f(x, b):
+            o = filtered_lrelu(x, fu, fd, b, mode=mode, **kw)
+            return jnp.sum(o * o)
+        return f
+
+    g_ref = jax.grad(loss("matmul"), argnums=(0, 1))(x, b)
+    g_got = jax.grad(loss("mmfuse2"), argnums=(0, 1))(x, b)
+    for a, c in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)

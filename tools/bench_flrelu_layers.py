@@ -28,6 +28,7 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
     from image_compression_2_tpu.ops.flrelu_policy import geometry_key
     from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
     from image_compression_2_tpu.ops.pallas_flrelu_wfuse import fits_wfuse
+    from image_compression_2_tpu.ops.pallas_flrelu_wfuse2 import fits_wfuse2
     from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
 
     cfg = GeneratorConfig(img_resolution=res)
@@ -68,6 +69,14 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
             if m == "mmfuse" and (
                 np.ndim(fu) > 1 or np.ndim(fd) > 1
                 or not fits_wfuse(
+                    batch, H, H, C, spec.up_factor, spec.down_factor,
+                    spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
+            ):
+                row += f" {'n/a':>10s}"
+                continue
+            if m == "mmfuse2" and (
+                np.ndim(fu) > 1 or np.ndim(fd) > 1
+                or not fits_wfuse2(
                     batch, H, H, C, spec.up_factor, spec.down_factor,
                     spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
             ):
@@ -142,7 +151,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--modes", default="matmul,mmfuse,tiled,conv")
+    ap.add_argument("--modes", default="matmul,sandwich,mmfuse2,conv")
     ap.add_argument("--emit-policy", action="store_true",
                     help="benchmark --policy-configs, write "
                          "ops/flrelu_policy.json")
