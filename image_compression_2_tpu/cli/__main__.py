@@ -45,20 +45,30 @@ def _load_codec(args, kind: str):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     if args.bundle:
         codec = load_codec(args.bundle, precision=precision)
-        return _reconcile_kind(codec, kind, precision)
+        return _reconcile_kind(
+            codec, kind, precision,
+            bits=_scalar_bits(args) if kind == "uniform-cabac" else 8)
     gen_res = args.generator_resolution or args.resolution
     gen_cfg = GeneratorConfig(img_resolution=gen_res)
     if args.checkpoint:
         return codec_from_training(args.checkpoint, generator_cfg=gen_cfg,
                                    kind=kind, precision=precision,
                                    n_embeddings=args.n_embeddings,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   quantization_bits=(
+                                       _scalar_bits(args)
+                                       if kind == "uniform-cabac" else 8))
     print("note: no --bundle/--checkpoint given; using a random-init codec")
     enc_cfg = EncoderConfig(img_resolution=gen_res)
     if kind == "uniform":
         from ..codec import Compressor
         return Compressor.create(enc_cfg, gen_cfg, seed=args.seed,
                                  precision=precision)
+    if kind == "uniform-cabac":
+        from ..codec import UniformCABACCompressor
+        return UniformCABACCompressor.create(
+            enc_cfg, gen_cfg, seed=args.seed, precision=precision,
+            quantization_bits=_scalar_bits(args))
     if kind == "cabac":
         from ..codec.cabac_compressor import CABACCompressor
         return CABACCompressor.create(enc_cfg, gen_cfg, seed=args.seed,
@@ -70,7 +80,18 @@ def _load_codec(args, kind: str):
                                    precision=precision)
 
 
-def _reconcile_kind(codec, kind: str, precision):
+def _scalar_bits(args) -> int:
+    """--bits for the entropy-coded uniform codec (scalar only: per-layer
+    allocations would need per-layer symbol alphabets)."""
+    bits = _parse_bits(getattr(args, "bits", "8"))
+    if not isinstance(bits, int):
+        raise SystemExit(
+            "--method uniform-cabac needs a scalar --bits (per-layer "
+            "allocation is the gumbel/CABAC codec's regime)")
+    return bits
+
+
+def _reconcile_kind(codec, kind: str, precision, bits: int = 8):
     """Make a loaded bundle match the requested method.
 
     A Gumbel/CABAC bundle used with method=uniform (or vice versa) must not
@@ -82,16 +103,21 @@ def _reconcile_kind(codec, kind: str, precision):
     from ..codec.cabac_compressor import CABACCompressor
     from ..codec.gumbel_compressor import GumbelCompressor
 
+    from ..codec import UniformCABACCompressor
+
     want = {"uniform": Compressor, "gumbel": GumbelCompressor,
-            "cabac": CABACCompressor}[kind]
+            "cabac": CABACCompressor,
+            "uniform-cabac": UniformCABACCompressor}[kind]
     if type(codec) is want:
         return codec
-    if want is Compressor:
+    if want in (Compressor, UniformCABACCompressor):
         # any codec carries encoder+generator weights; drop the discretizer
-        return Compressor(codec.encoder_cfg, codec.generator_cfg,
-                          codec.encoder_vars, codec.generator_vars,
-                          training_resolution=codec.training_resolution,
-                          precision=precision)
+        kw = ({"quantization_bits": bits}
+              if want is UniformCABACCompressor else {})
+        return want(codec.encoder_cfg, codec.generator_cfg,
+                    codec.encoder_vars, codec.generator_vars,
+                    training_resolution=codec.training_resolution,
+                    precision=precision, **kw)
     if not isinstance(codec, GumbelCompressor):
         raise SystemExit(
             f"bundle holds a {type(codec).__name__} (no discretization "
@@ -184,10 +210,10 @@ def cmd_compress(args):
     method = args.method
     if method == "auto":
         method = "cabac" if args.output.endswith(".cabac") else "uniform"
-    codec = _load_codec(args, "cabac" if method == "cabac" else method)
+    codec = _load_codec(args, method)
     x = jnp.asarray(load_image(args.image, args.resolution))[None]
     t0 = time.time()
-    if method == "cabac":
+    if method in ("cabac", "uniform-cabac"):
         orig, comp, ratio = codec.save_compressed(
             x, args.output, use_cabac=not args.no_cabac,
             refine_steps=args.refine_steps)
@@ -210,7 +236,7 @@ def cmd_decompress(args):
     method = args.method
     if method == "auto":
         method = "cabac" if args.compressed.endswith(".cabac") else "uniform"
-    codec = _load_codec(args, "cabac" if method == "cabac" else method)
+    codec = _load_codec(args, method)
     t0 = time.time()
     img, ratio = codec.load_compressed(args.compressed)
     dt = time.time() - t0
@@ -509,7 +535,9 @@ def main(argv=None):
     _add_model_flags(p)
     p.add_argument("--image", type=str, required=True)
     p.add_argument("--output", type=str, required=True)
-    p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
+    p.add_argument("--method",
+                   choices=["auto", "uniform", "gumbel", "cabac",
+                            "uniform-cabac"],
                    default="auto")
     p.add_argument("--refine-steps", type=int, default=0,
                    help="encode-time inversion refinement steps on W+ "
@@ -525,8 +553,14 @@ def main(argv=None):
     _add_model_flags(p)
     p.add_argument("--compressed", type=str, required=True)
     p.add_argument("--output", type=str, required=True)
-    p.add_argument("--method", choices=["auto", "uniform", "gumbel", "cabac"],
+    p.add_argument("--method",
+                   choices=["auto", "uniform", "gumbel", "cabac",
+                            "uniform-cabac"],
                    default="auto")
+    p.add_argument("--bits", type=str, default="8",
+                   help="bit depth for --method uniform-cabac (must match "
+                        "the encode setting; the stream's latents tag is "
+                        "verified at decode)")
     p.set_defaults(fn=cmd_decompress)
 
     p = sub.add_parser("compare", help="compare vs PNG/JPEG/WebP")

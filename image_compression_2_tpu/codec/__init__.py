@@ -1,3 +1,4 @@
 from .compressor import Compressor
+from .uniform_cabac import UniformCABACCompressor
 
-__all__ = ["Compressor"]
+__all__ = ["Compressor", "UniformCABACCompressor"]

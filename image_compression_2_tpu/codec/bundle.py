@@ -17,9 +17,10 @@ import numpy as np
 
 from ..core.config import EncoderConfig, GeneratorConfig, Precision
 from ..train.checkpoint import load_checkpoint, save_checkpoint
-from .cabac_compressor import CABACCompressor
+from .cabac_compressor import CABACCompressor, EntropyCodecBase
 from .compressor import Compressor
 from .gumbel_compressor import GumbelCompressor
+from .uniform_cabac import UniformCABACCompressor
 
 
 def _cfg_to_dict(cfg) -> dict:
@@ -53,7 +54,9 @@ def save_codec(path: str, codec) -> None:
     if isinstance(codec, GumbelCompressor):
         payload["disc_vars"] = codec.disc_vars
         meta["n_embeddings"] = codec.n_embeddings
-    if isinstance(codec, CABACCompressor) and codec.priors is not None:
+    if isinstance(codec, UniformCABACCompressor):
+        meta["quantization_bits"] = codec.quantization_bits
+    if isinstance(codec, EntropyCodecBase) and codec.priors is not None:
         payload["priors"] = np.asarray(codec.priors)
     save_checkpoint(path, payload, meta=meta)
 
@@ -72,6 +75,14 @@ def load_codec(path: str, precision: Optional[Precision] = None):
     if kind == "Compressor":
         return Compressor(enc_cfg, gen_cfg, payload["encoder_vars"],
                           payload["generator_vars"], **kw)
+    if kind == "UniformCABACCompressor":
+        codec = UniformCABACCompressor(
+            enc_cfg, gen_cfg, payload["encoder_vars"],
+            payload["generator_vars"],
+            quantization_bits=meta.get("quantization_bits", 8), **kw)
+        if "priors" in payload:
+            codec.priors = np.asarray(payload["priors"], np.uint16)
+        return codec
     cls = CABACCompressor if kind == "CABACCompressor" else GumbelCompressor
     codec = cls(enc_cfg, gen_cfg, payload["encoder_vars"],
                 payload["generator_vars"], disc_vars=payload.get("disc_vars"),
@@ -89,6 +100,7 @@ def codec_from_training(
     n_embeddings: int = 256,
     precision: Precision = Precision(),
     seed: int = 0,
+    quantization_bits: int = 8,
 ):
     """Build a codec from a TRAINING checkpoint (stage 1 or 2) + generator.
 
@@ -130,6 +142,10 @@ def codec_from_training(
     if kind == "uniform":
         return Compressor(enc_cfg, generator_cfg, enc_vars, gen_vars,
                           precision=precision)
+    if kind == "uniform-cabac":
+        return UniformCABACCompressor(enc_cfg, generator_cfg, enc_vars,
+                                      gen_vars, precision=precision,
+                                      quantization_bits=quantization_bits)
     disc_vars = (
         {"params": params["discretization"]} if stage2 else None
     )

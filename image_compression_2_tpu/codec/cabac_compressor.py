@@ -1,4 +1,4 @@
-"""Entropy-coded codec: HVAE encode -> discretize -> CABAC -> `.cabac` file.
+"""Entropy-coded codecs: HVAE encode -> integer codes -> CABAC -> `.cabac`.
 
 API parity with the reference ``CABACCompressor``
 (/root/reference/cabac_compression.py:409-588): ``compress(x, use_cabac)``
@@ -17,6 +17,13 @@ returning (bytes, metadata) with orig_size measured against raw index bytes,
 - metadata additionally reports ``orig_size_pixels``/``ratio_vs_pixels`` so
   both of the reference's two incompatible ratio definitions are explicit
   (SURVEY §6).
+
+The entropy layer is agnostic to WHERE the integer codes come from, so it
+lives in ``EntropyCodecBase`` with two hooks (``_latent_codes`` /
+``_reconstruct_codes``): ``CABACCompressor`` feeds it Gumbel codebook
+indices (the reference's pairing); ``codec/uniform_cabac.py`` feeds it
+uniform-quantized stage-1 latents — a beyond-reference pairing the reference
+cannot express because its CABAC path is welded to the discretization.
 """
 
 from __future__ import annotations
@@ -34,22 +41,45 @@ from ..coding.container import read_cabac_file, write_cabac_file
 from .gumbel_compressor import GumbelCompressor
 
 
-class CABACCompressor(GumbelCompressor):
-    """GumbelCompressor + context-adaptive entropy coding of the indices.
+class EntropyCodecBase:
+    """CABAC entropy layer over any integer latent codes.
 
-    Optional trained priors: ``calibrate(images)`` encodes a calibration batch
-    on the TPU, histograms the code indices per (num_ws, w_dim) position (a
+    Subclasses provide ``n_symbols``, ``_latents_id`` (a short string baked
+    into stream metadata so a stream never silently decodes through the
+    wrong latent codec), ``_latent_codes(x, refine_steps, refine_lr)`` →
+    int32 [B, T, D], and ``_reconstruct_codes(codes)`` → images.
+
+    Optional trained priors: ``calibrate(images)`` encodes a calibration
+    batch on the TPU, histograms the code indices per (T, D) position (a
     batched one-hot reduction on device), and uses the smoothed table as the
     entropy model's initial frequencies — capturing per-dimension latent
     structure the in-stream adaptive contexts cannot see.  The prior travels
     with the codec (``save_priors``/``load_priors``), NOT inside each
-    ``.cabac`` file; streams record which mode they used.
+    ``.cabac`` file by default; streams record which mode they used.
     """
 
     priors: Optional[np.ndarray] = None
 
+    # -------------------------------------------------------------- hooks
+    @property
+    def n_symbols(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def _latents_id(self) -> str:
+        raise NotImplementedError
+
+    def _latent_codes(self, x, refine_steps: int = 0,
+                      refine_lr: float = 0.02) -> np.ndarray:
+        raise NotImplementedError
+
+    def _reconstruct_codes(self, codes: np.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- priors
     def calibrate(self, images, batch_size: int = 8,
-                  refine_steps: int = 0) -> np.ndarray:
+                  refine_steps: int = 0,
+                  refine_lr: float = 0.02) -> np.ndarray:
         """``refine_steps`` must match the intended encode setting: refined
         latents have tighter per-position statistics, so a prior built from
         unrefined codes under-models them (and vice versa)."""
@@ -58,27 +88,29 @@ class CABACCompressor(GumbelCompressor):
         all_codes = []
         n = images.shape[0]
         for i in range(0, n, batch_size):
-            all_codes.append(np.asarray(super().compress(
-                images[i:i + batch_size], refine_steps=refine_steps)))
-        self.priors = build_prior(np.concatenate(all_codes), self.n_embeddings)
+            all_codes.append(self._latent_codes(
+                images[i:i + batch_size], refine_steps=refine_steps,
+                refine_lr=refine_lr))
+        self.priors = build_prior(np.concatenate(all_codes), self.n_symbols)
         return self.priors
 
     def save_priors(self, filename: str) -> None:
         assert self.priors is not None, "calibrate() first"
         np.savez_compressed(filename, priors=self.priors,
-                            n_embeddings=self.n_embeddings)
+                            n_embeddings=self.n_symbols)
 
     def load_priors(self, filename: str) -> None:
         data = np.load(filename)
-        assert int(data["n_embeddings"]) == self.n_embeddings
+        assert int(data["n_embeddings"]) == self.n_symbols
         self.priors = np.asarray(data["priors"], np.uint16)
 
+    # ------------------------------------------------------------ entropy
     def compress_entropy(
         self, x, use_cabac: bool = True, use_priors: Optional[bool] = None,
         refine_steps: int = 0, refine_lr: float = 0.02,
     ) -> Tuple[bytes, Dict]:
         """Image batch -> (payload bytes, metadata).  ``refine_steps``
-        enables encode-time inversion refinement before discretization
+        enables encode-time inversion refinement before code extraction
         (codec/refine.py) — the entropy-coded stream and decode path are
         unchanged."""
         if use_priors is None:
@@ -88,9 +120,9 @@ class CABACCompressor(GumbelCompressor):
                 "use_priors=True but no prior table is loaded — call "
                 "calibrate(images) or load_priors(file) first"
             )
-        codes = np.asarray(super().compress(
-            x, refine_steps=refine_steps, refine_lr=refine_lr), np.int32)
-        orig_size = codes.size * np.log2(self.n_embeddings) / 8  # raw index B
+        codes = self._latent_codes(x, refine_steps=refine_steps,
+                                   refine_lr=refine_lr)
+        orig_size = codes.size * np.log2(self.n_symbols) / 8  # raw index B
         stream_lengths = None
         if use_cabac:
             priors = self.priors if use_priors else None
@@ -98,7 +130,7 @@ class CABACCompressor(GumbelCompressor):
             # thread pool — batch encode scales with cores and any single
             # image can be decoded without touching the others
             payload, stream_lengths = cabac_encode_batched(
-                codes, self.n_embeddings, priors)
+                codes, self.n_symbols, priors)
             # Entropy coding must never expand: if the codes carry ~no mutual
             # information (e.g. an untrained encoder), fall back to packed raw.
             raw = self._pack_raw(codes)
@@ -123,8 +155,9 @@ class CABACCompressor(GumbelCompressor):
             # metadata); v1 was one monolithic stream — an incompatible
             # layout must not reuse the old identifier
             "codec": "ic2t-cabac-v2" if use_cabac else self._raw_codec_name(),
+            "latents": self._latents_id,
             "shape": list(codes.shape),
-            "n_embeddings": int(self.n_embeddings),
+            "n_embeddings": int(self.n_symbols),
             "use_cabac": bool(use_cabac),
             "use_priors": bool(use_priors),
             "orig_size": float(orig_size),
@@ -136,10 +169,10 @@ class CABACCompressor(GumbelCompressor):
         return payload, metadata
 
     def _raw_codec_name(self) -> str:
-        return "raw-u8" if self.n_embeddings <= 256 else "raw-u16"
+        return "raw-u8" if self.n_symbols <= 256 else "raw-u16"
 
     def _pack_raw(self, codes: np.ndarray) -> bytes:
-        dt = np.uint8 if self.n_embeddings <= 256 else np.uint16
+        dt = np.uint8 if self.n_symbols <= 256 else np.uint16
         return codes.astype(dt).tobytes()
 
     def _unpack_raw(self, payload: bytes, shape, codec: str) -> np.ndarray:
@@ -153,6 +186,13 @@ class CABACCompressor(GumbelCompressor):
     ) -> jnp.ndarray:
         """Reconstruct the batch — or, with ``image_index``, a single image
         (possible because every image is an independent entropy stream)."""
+        stream_latents = metadata.get("latents")
+        if stream_latents is not None and stream_latents != self._latents_id:
+            raise ValueError(
+                f"stream carries {stream_latents!r} codes but this codec "
+                f"reconstructs {self._latents_id!r} — decoding would produce "
+                f"plausible garbage"
+            )
         shape = tuple(metadata["shape"])
         if metadata.get("use_cabac", True):
             priors = None
@@ -176,8 +216,9 @@ class CABACCompressor(GumbelCompressor):
             codes = self._unpack_raw(payload, shape, metadata["codec"])
             if image_index is not None:
                 codes = codes[image_index:image_index + 1]
-        return self.decompress(jnp.asarray(codes))
+        return self._reconstruct_codes(codes)
 
+    # ---------------------------------------------------------- container
     def save_compressed(  # type: ignore[override]
         self, x, filename: str, use_cabac: bool = True,
         embed_priors: bool = False, refine_steps: int = 0,
@@ -214,3 +255,26 @@ class CABACCompressor(GumbelCompressor):
             self.priors = np.ascontiguousarray(table, np.uint16)
         img = self.decompress_entropy(payload, metadata)
         return img, metadata["compression_ratio"]
+
+
+class CABACCompressor(EntropyCodecBase, GumbelCompressor):
+    """GumbelCompressor + context-adaptive entropy coding of its codebook
+    indices — the reference's pairing
+    (/root/reference/cabac_compression.py:409-588)."""
+
+    @property
+    def n_symbols(self) -> int:
+        return self.n_embeddings
+
+    @property
+    def _latents_id(self) -> str:
+        return "gumbel"
+
+    def _latent_codes(self, x, refine_steps: int = 0,
+                      refine_lr: float = 0.02) -> np.ndarray:
+        return np.asarray(
+            GumbelCompressor.compress(self, x, refine_steps=refine_steps,
+                                      refine_lr=refine_lr), np.int32)
+
+    def _reconstruct_codes(self, codes: np.ndarray) -> jnp.ndarray:
+        return self.decompress(jnp.asarray(codes))

@@ -194,3 +194,61 @@ def test_cli_bundle_kind_reconciliation(tmp_path, capsys):
         cli_main(["compress", "--bundle", ubundle, "--image", img_path,
                   "--output", str(tmp_path / "x.cabac"), "--method", "cabac",
                   "--resolution", str(RES), "--no-bf16"])
+
+
+def test_cli_uniform_cabac_roundtrip(tmp_path):
+    """Entropy-coded uniform codec through the CLI: a stage-1 (uniform)
+    bundle drives --method uniform-cabac end-to-end, and decode verifies
+    the latents tag."""
+    img_path = str(tmp_path / "input.png")
+    save_image(np.random.RandomState(1).uniform(-1, 1, [RES, RES, 3]),
+               img_path)
+    gen_cfg, enc_cfg = _cfgs()
+    comp = Compressor.create(enc_cfg, gen_cfg, seed=0)
+    bundle = str(tmp_path / "codec.ic2t")
+    save_codec(bundle, comp)
+
+    cfile = str(tmp_path / "out.cabac")
+    cli_main(["compress", "--bundle", bundle, "--image", img_path,
+              "--output", cfile, "--resolution", str(RES), "--no-bf16",
+              "--method", "uniform-cabac", "--bits", "6"])
+    assert os.path.exists(cfile)
+    out_png = str(tmp_path / "recon.png")
+    cli_main(["decompress", "--bundle", bundle, "--compressed", cfile,
+              "--output", out_png, "--resolution", str(RES), "--no-bf16",
+              "--method", "uniform-cabac", "--bits", "6"])
+    assert os.path.exists(out_png)
+
+    # wrong bits at decode -> loud latents-tag mismatch, not garbage
+    with pytest.raises(ValueError, match="uniform-6bit"):
+        cli_main(["decompress", "--bundle", bundle, "--compressed", cfile,
+                  "--output", out_png, "--resolution", str(RES), "--no-bf16",
+                  "--method", "uniform-cabac", "--bits", "8"])
+
+    # per-layer --bits with the entropy codec is rejected with a clear error
+    with pytest.raises(SystemExit, match="scalar"):
+        cli_main(["compress", "--bundle", bundle, "--image", img_path,
+                  "--output", cfile, "--resolution", str(RES), "--no-bf16",
+                  "--method", "uniform-cabac", "--bits", "6,6,6,6,6,6"])
+
+
+def test_uniform_cabac_bundle_roundtrip(tmp_path):
+    """A calibrated UniformCABACCompressor bundles with its priors and
+    quantization_bits intact."""
+    from image_compression_2_tpu.codec import UniformCABACCompressor
+
+    gen_cfg, enc_cfg = _cfgs()
+    uc = UniformCABACCompressor.create(enc_cfg, gen_cfg, seed=0,
+                                       quantization_bits=6)
+    x = jax.random.uniform(jax.random.PRNGKey(2), [4, RES, RES, 3],
+                           minval=-1, maxval=1)
+    uc.calibrate(np.asarray(x), batch_size=4)
+    path = str(tmp_path / "uc.ic2t")
+    save_codec(path, uc)
+    uc2 = load_codec(path)
+    assert isinstance(uc2, UniformCABACCompressor)
+    assert uc2.quantization_bits == 6
+    np.testing.assert_array_equal(uc2.priors, uc.priors)
+    p1, m1 = uc.compress_entropy(x[:1])
+    p2, m2 = uc2.compress_entropy(x[:1])
+    assert p1 == p2 and m1["latents"] == "uniform-6bit"

@@ -44,6 +44,10 @@ def main():
                          "(same rate, distortion from inversion optimised "
                          "through the frozen generator)")
     ap.add_argument("--refine-lr", type=float, default=0.02)
+    ap.add_argument("--uniform-cabac", action="store_true",
+                    help="add CABAC(+priors)(+refine) rows over the uniform "
+                         "indices (codec/uniform_cabac.py) — same "
+                         "distortion, better rate")
     ap.add_argument("--alloc-sweep", action="store_true",
                     help="sweep per-layer bit allocations vs flat rows and "
                          "report the RD frontier "
@@ -172,6 +176,42 @@ def main():
         name = f"uniform-4bit+refine{args.refine}-qa"
         rows[name] = metrics(x_eval, uni.decompress(w), comp)
         print(f"{name}: {rows[name]}", flush=True)
+
+    if args.uniform_cabac:
+        # CABAC entropy layer over the SAME uniform indices (beyond-reference
+        # pairing, codec/uniform_cabac.py): identical distortion to the
+        # uniform-{bits} rows by construction, strictly better rate whenever
+        # the coder beats raw fixed-width packing.
+        from image_compression_2_tpu.codec import UniformCABACCompressor
+
+        for bits in (4, 8):
+            uc = UniformCABACCompressor(
+                enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
+                quantization_bits=bits)
+            payload, meta = uc.compress_entropy(x_eval, use_priors=False)
+            recon = uc.decompress_entropy(payload, meta)
+            name = f"uniform-{bits}bit+cabac"
+            rows[name] = metrics(x_eval, recon,
+                                 meta["comp_size"] / args.n_eval)
+            print(f"{name}: {rows[name]}", flush=True)
+            if args.n_calib:
+                uc.calibrate(x_calib)
+                payload, meta = uc.compress_entropy(x_eval, use_priors=True)
+                recon = uc.decompress_entropy(payload, meta)
+                name = f"uniform-{bits}bit+cabac+priors"
+                rows[name] = metrics(x_eval, recon,
+                                     meta["comp_size"] / args.n_eval)
+                print(f"{name}: {rows[name]}", flush=True)
+                if args.refine:
+                    # refined codes have tighter statistics: recalibrate
+                    uc.calibrate(x_calib, refine_steps=args.refine)
+                    payload, meta = uc.compress_entropy(
+                        x_eval, use_priors=True, refine_steps=args.refine)
+                    recon = uc.decompress_entropy(payload, meta)
+                    name = f"uniform-{bits}bit+cabac+priors+refine{args.refine}"
+                    rows[name] = metrics(x_eval, recon,
+                                         meta["comp_size"] / args.n_eval)
+                    print(f"{name}: {rows[name]}", flush=True)
 
     sweep_note = ""
     if args.alloc_sweep:
