@@ -319,6 +319,17 @@ def cmd_compare(args):
     recon, _ = uni.load_compressed(f)
     add_row(f"hvae-uniform-{args.bits}bit", int(comp), recon)
 
+    # entropy-coded uniform indices (same weights, no codebook needed)
+    from ..codec import UniformCABACCompressor
+
+    ucab = UniformCABACCompressor(
+        codec.encoder_cfg, codec.generator_cfg, codec.encoder_vars,
+        codec.generator_vars, training_resolution=codec.training_resolution,
+        quantization_bits=int(args.bits))
+    payload, meta = ucab.compress_entropy(x)
+    add_row(f"hvae-uniform-{args.bits}bit-cabac", meta["comp_size"],
+            ucab.decompress_entropy(payload, meta))
+
     pix_bytes = x_np.size * 4
     print(f"\n{'method':24s} {'size':>10s} {'ratio':>8s} {'psnr':>7s} "
           f"{'ms-ssim':>8s} {'lpips(rf)':>9s}")
