@@ -11,11 +11,11 @@
 set -u
 cd "$(dirname "$0")/.."
 
-CHAIN_LOG=runs/r3chain2_log.txt
+CHAIN_LOG=runs/r3chain2r_log.txt
 
 # Wait for the chain2a process tree to exit (match the exact script path,
 # never pattern-kill; we only *read* the pid).
-while pgrep -x -f "/bin/bash tools/run_r3_chain2.sh" > /dev/null; do
+while pgrep -x -f "/bin/bash tools/run_r3_chain2r.sh" > /dev/null; do
   sleep 60
 done
 

@@ -31,15 +31,6 @@ git add -f image_compression_2_tpu/ops/flrelu_policy.json \
   2>/dev/null || true
 git commit -qm "Re-measure flrelu policy with sandwich+mmfuse2 candidates; refresh bench/MFU" || true
 
-echo "== [4/4] RD table with uniform+CABAC rows =="
-# regenerate with the entropy layer over uniform indices (the flag did not
-# exist when the chain's own rd_table step was written/launched)
-python tools/rd_table.py \
-  --stage1 runs/r3stage1/hvae_encoder_final.ic2t \
-  --stage2 runs/r3stage2/gumbel_hvae_final.ic2t \
-  --res 256 --truncation 0.7 --n-eval 16 --n-calib 48 \
-  --refine 100 --alloc-sweep --uniform-cabac \
-  --out RD_TABLE.md
-git add -f RD_TABLE.md RD_TABLE.json 2>/dev/null || true
-git commit -qm "RD table: add CABAC(+priors)(+refine) rows over uniform indices" || true
+# (the former step 4 — RD regeneration with --uniform-cabac — moved into
+# tools/run_r3_chain2r.sh's own rd_table step)
 echo "r3 perf window done — launch tools/run_r3_chain2b.sh next"
