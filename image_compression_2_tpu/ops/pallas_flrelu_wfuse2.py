@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Leave headroom under the 16 MiB/core VMEM for Mosaic's own buffers.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# Fuse the VJP's t2-recompute + lrelu-derivative + W-down-transpose dot into
+# one kernel too (the backward otherwise round-trips two W2-wide tensors
+# through HBM).  Gated off to fall back to the plain-XLA einsum backward.
+BWD_FUSED = True
+
 
 @dataclasses.dataclass(frozen=True)
 class Wfuse2Plan:
@@ -132,6 +137,87 @@ def _build_call(plan: Wfuse2Plan, slope: float, gain: float,
     )
 
 
+def plan_wfuse2_bwd(B: int, H2: int, W: int, W2: int, Wo: int, C: int,
+                    dtype) -> Optional[Wfuse2Plan]:
+    """Block plan for the fused backward kernel (working set differs from the
+    forward: two W2-wide f32 temporaries plus the g block)."""
+    isz = jnp.dtype(dtype).itemsize
+    Ct = min(C, 128)
+    mat_bytes = (W2 * W + Wo * W2) * isz
+    for Ht in (32, 16, 8, 4, 2, 1):
+        if Ht > H2 and Ht != 1:
+            continue
+        n = Ht * Ct
+        est = (
+            mat_bytes
+            + 2 * Ht * W * Ct * isz      # t1 block, double-buffered
+            + 2 * Ht * Ct * Wo * isz     # cotangent block, double-buffered
+            + W2 * n * 4                 # recomputed t2 (f32)
+            + W2 * n * 4                 # g_y (f32)
+            + W2 * n * 4                 # deriv / product temporary
+            + 2 * W2 * n * isz           # output block, double-buffered
+        )
+        if est <= _VMEM_BUDGET:
+            return Wfuse2Plan(B, H2, W, W2, Wo, C, Ht, Ct,
+                              jnp.dtype(dtype).name)
+    return None
+
+
+def _bwd_kernel(x_ref, g_ref, au_ref, ad_ref, o_ref, *, slope, gain, clamp):
+    x = x_ref[0]   # [Ht, W, Ct]  — the saved pre-oversample input block
+    g = g_ref[0]   # [Ht, Ct, Wo] — cotangent in the forward's output layout
+    # Recompute t2 exactly as the forward did (remat beats saving the
+    # layer's largest tensor), same native sublane contraction.
+    t2 = jax.lax.dot_general(
+        x, au_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [Ht, Ct, W2]
+    deriv = jnp.where(t2 >= 0, gain, slope * gain)
+    if clamp is not None:
+        z = jnp.where(t2 >= 0, t2, t2 * slope) * gain
+        deriv = jnp.where(jnp.abs(z) <= clamp, deriv, 0.0)
+    # dW-down^T: contract the lane (Wo) dim with Ad's leading dim — the
+    # classic matmul again (Ad arrives pre-transposed as [Wo, W2]).
+    g_y = jax.lax.dot_general(
+        g, ad_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [Ht, Ct, W2]
+    o_ref[0] = (g_y * deriv).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd_call(plan: Wfuse2Plan, slope: float, gain: float,
+                    clamp: Optional[float]):
+    kern = functools.partial(_bwd_kernel, slope=slope, gain=gain, clamp=clamp)
+    return pl.pallas_call(
+        kern,
+        grid=plan.grid,
+        in_specs=[
+            pl.BlockSpec((1, plan.Ht, plan.W, plan.Ct),
+                         lambda b, h, c: (b, h, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, plan.Ht, plan.Ct, plan.Wo),
+                         lambda b, h, c: (b, h, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.W, plan.W2), lambda b, h, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.Wo, plan.W2), lambda b, h, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, plan.Ht, plan.Ct, plan.W2),
+                               lambda b, h, c: (b, h, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.B, plan.H2, plan.C, plan.W2), jnp.dtype(plan.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.B * plan.H2 * plan.C
+            * (plan.W2 * plan.W + plan.Wo * plan.W2),
+            bytes_accessed=plan.B * plan.H2 * plan.C
+            * (plan.W + plan.Wo + plan.W2)
+            * jnp.dtype(plan.dtype).itemsize,
+            transcendentals=0,
+        ),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def wfuse2_middle(t1: jnp.ndarray, A_upT: jnp.ndarray, A_dnT: jnp.ndarray,
                   slope: float, gain: float, clamp: Optional[float],
@@ -148,10 +234,23 @@ def _wfuse2_fwd(t1, A_upT, A_dnT, slope, gain, clamp, plan):
 
 
 def _wfuse2_bwd(slope, gain, clamp, plan, res, g):
-    # Plain-XLA backward; recomputes the oversampled activations instead of
-    # saving them (remat beats holding the layer's largest tensor).
     # g arrives in the kernel's [B, H2, C, Wo] layout.
     t1, A_upT, A_dnT = res
+    if BWD_FUSED:
+        from .flrelu_policy import FORCE_PALLAS_ON_CPU
+
+        if jax.default_backend() == "tpu" or FORCE_PALLAS_ON_CPU:
+            bplan = plan_wfuse2_bwd(plan.B, plan.H2, plan.W, plan.W2,
+                                    plan.Wo, plan.C, plan.dtype)
+            if bplan is not None:
+                g_t2 = _build_bwd_call(bplan, slope, gain, clamp)(
+                    t1, g.astype(t1.dtype), A_upT,
+                    A_dnT.T.astype(t1.dtype))
+                g_t1 = jnp.einsum("bhcv,Wv->bhWc", g_t2, A_upT)
+                return (g_t1.astype(t1.dtype), jnp.zeros_like(A_upT),
+                        jnp.zeros_like(A_dnT))
+    # Plain-XLA backward; recomputes the oversampled activations instead of
+    # saving them (remat beats holding the layer's largest tensor).
     t2 = jnp.einsum("bhWc,Wv->bhcv", t1, A_upT,
                     preferred_element_type=jnp.float32)
     deriv = jnp.where(t2 >= 0, 1.0, slope) * gain

@@ -23,10 +23,16 @@ def _interpret_mode(monkeypatch):
         kwargs["interpret"] = True
         return real_call(*args, **kwargs)
 
+    def _clear():
+        # a test may have monkeypatched a cache-less spy in; teardown order
+        # vs the test's own monkeypatch undo is not guaranteed
+        for fn in (wf2._build_call, wf2._build_bwd_call):
+            getattr(fn, "cache_clear", lambda: None)()
+
     monkeypatch.setattr(pl, "pallas_call", interp_call)
-    wf2._build_call.cache_clear()
+    _clear()
     yield
-    wf2._build_call.cache_clear()
+    _clear()
 
 
 def _filters(tu, td):
@@ -144,7 +150,23 @@ def test_auto_mode_routes_mmfuse2_policy_winner(monkeypatch, tmp_path):
     assert np.isfinite(np.asarray(out2)).all()
 
 
-def test_gradients_match_matmul_path():
+@pytest.mark.parametrize("fused_bwd", [False, True])
+def test_gradients_match_matmul_path(monkeypatch, fused_bwd):
+    """Both VJP paths: the plain-XLA einsum backward and the fused Pallas
+    backward kernel (forced through FORCE_PALLAS_ON_CPU under interpret)."""
+    if fused_bwd:
+        from image_compression_2_tpu.ops import flrelu_policy as fp
+
+        monkeypatch.setattr(fp, "FORCE_PALLAS_ON_CPU", True)
+        calls = []
+        real = wf2._build_bwd_call.__wrapped__
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        wf2._build_bwd_call.cache_clear()
+        monkeypatch.setattr(wf2, "_build_bwd_call", spy)
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 12, 12, 64).astype(np.float32))
     b = jnp.asarray(rng.randn(64).astype(np.float32))
@@ -163,3 +185,5 @@ def test_gradients_match_matmul_path():
     for a, c in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-3, atol=1e-3)
+    if fused_bwd:
+        assert calls, "fused backward kernel was not used"
