@@ -19,7 +19,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
+def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
+                 grad=False):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +34,8 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
 
     cfg = GeneratorConfig(img_resolution=res)
     dtype = jnp.dtype(dtype_name)
-    print(f"\n== res={res} batch={batch} dtype={dtype_name} iters={iters}")
+    tag = " [fwd+bwd]" if grad else ""
+    print(f"\n== res={res} batch={batch} dtype={dtype_name} iters={iters}{tag}")
     print(f"{'layer':16s} {'shape':>20s}"
           + "".join(f" {m:>10s}" for m in modes) + "   winner")
 
@@ -107,16 +109,31 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows):
             # op `iters` times and reduces to a scalar.  Per-call dispatch
             # and (worse) fetching the full output tensor over the relay
             # would otherwise dominate every layer's measurement.
-            def many(x, b, fn=fn):
-                def body(i, acc):
-                    o = fn(x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype),
-                           b)
-                    # full reduction so no mode's output can be dead-code
-                    # narrowed (XLA can sink a single-element slice into the
-                    # dot/conv and compute a sliver of the real layer);
-                    # jnp.sum is a cheap on-device reduce, not a relayout
-                    return acc + jnp.sum(o, dtype=jnp.float32)
-                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            if grad:
+                # fwd+bwd per iteration: the training path's cost.  The
+                # scalar loss keeps every mode's VJP shape identical, and
+                # the grad-sum reduction prevents dead-code narrowing.
+                gfn = jax.grad(
+                    lambda x, b, fn=fn: jnp.sum(
+                        fn(x, b).astype(jnp.float32) ** 2), argnums=0)
+
+                def many(x, b, gfn=gfn):
+                    def body(i, acc):
+                        g = gfn(x + i.astype(x.dtype)
+                                * jnp.asarray(1e-6, x.dtype), b)
+                        return acc + jnp.sum(g, dtype=jnp.float32)
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            else:
+                def many(x, b, fn=fn):
+                    def body(i, acc):
+                        o = fn(x + i.astype(x.dtype)
+                               * jnp.asarray(1e-6, x.dtype), b)
+                        # full reduction so no mode's output can be dead-code
+                        # narrowed (XLA can sink a single-element slice into
+                        # the dot/conv and compute a sliver of the real
+                        # layer); jnp.sum is a cheap on-device reduce
+                        return acc + jnp.sum(o, dtype=jnp.float32)
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
             timer = jax.jit(many)
             try:
@@ -152,6 +169,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--modes", default="matmul,sandwich,mmfuse2,conv")
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (jax.grad of a scalar loss) instead "
+                         "of the forward — the training path's cost; "
+                         "informational only (never writes the policy)")
     ap.add_argument("--emit-policy", action="store_true",
                     help="benchmark --policy-configs, write "
                          "ops/flrelu_policy.json")
@@ -169,6 +190,8 @@ def main():
     winners, rows = {}, []
     modes = args.modes.split(",")
     if args.emit_policy:
+        if args.grad:
+            ap.error("--grad is informational only; it cannot emit a policy")
         configs = [tuple(map(int, rb.split(":")))
                    for rb in args.policy_configs.split(",")]
         for res, batch in configs:
@@ -183,7 +206,7 @@ def main():
         print(f"\nwrote policy with {len(winners)} geometries")
     else:
         bench_config(args.res, args.batch, args.iters, modes, args.dtype,
-                     winners, rows)
+                     winners, rows, grad=args.grad)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,10 @@ echo "== [1/3] flrelu policy sweep (matmul/sandwich/mmfuse2/conv) =="
 python tools/bench_flrelu_layers.py --emit-policy \
   2>&1 | tee runs/r3_policy3_log.txt
 
+echo "== [1b/3] fwd+bwd timing (training path; BWD_FUSED decision data) =="
+python tools/bench_flrelu_layers.py --grad --modes matmul,sandwich,mmfuse2 \
+  --res 256 --batch 8 2>&1 | tee runs/r3_grad_timing.txt || true
+
 echo "== [2/3] headline bench =="
 python bench.py | tee runs/r3_bench_after_policy.txt
 
