@@ -123,11 +123,17 @@ def make_train_step(
     weights: LossWeights = LossWeights(),
     mesh: Optional[Mesh] = None,
     remat: bool = False,
+    tp_examples=None,
 ):
     """Build the jitted train step.
 
-    With a mesh: the batch and the per-sample rng fold-in shard over 'data';
-    everything else is replicated.  Without a mesh: plain single-device jit.
+    With a mesh: the batch and the per-sample rng fold-in shard over 'data'.
+    With ``tp_examples=(state, gen_vars)`` and a mesh whose 'model' axis is
+    >1: parameters, optimizer state, and the frozen generator weights shard
+    channel-wise over 'model' (parallel/tp.py) and XLA propagates the
+    shardings through the activations, inserting the ICI collectives.
+    Otherwise everything but the batch is replicated.  Without a mesh:
+    plain single-device jit.
     """
     loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights, remat)
 
@@ -148,10 +154,17 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
+    state_sh = gen_sh = repl
+    if tp_examples is not None:
+        from ..parallel.tp import tree_shardings, wants_tp
+
+        if wants_tp(mesh):
+            state_sh = tree_shardings(tp_examples[0], mesh)
+            gen_sh = tree_shardings(tp_examples[1], mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, repl, batch_sh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, gen_sh, repl, repl, batch_sh, repl),
+        out_shardings=(state_sh, repl),
     )
 
 
@@ -161,6 +174,7 @@ def make_eval_step(
     lpips_apply: Optional[Callable] = None,
     weights: LossWeights = LossWeights(),
     mesh: Optional[Mesh] = None,
+    tp_examples=None,
 ):
     """Loss-only metrics pass for validation (no gradient computation)."""
     loss_fn = make_loss_fn(encoder, generator, lpips_apply, weights)
@@ -173,9 +187,17 @@ def make_eval_step(
     if mesh is None:
         return jax.jit(eval_fn)
     repl = NamedSharding(mesh, P())
+    state_sh = gen_sh = repl
+    if tp_examples is not None:
+        from ..parallel.tp import tree_shardings, wants_tp
+
+        if wants_tp(mesh):
+            state_sh = tree_shardings(tp_examples[0], mesh)
+            gen_sh = tree_shardings(tp_examples[1], mesh)
     return jax.jit(
         eval_fn,
-        in_shardings=(repl, repl, repl, repl, NamedSharding(mesh, P("data")), repl),
+        in_shardings=(state_sh, gen_sh, repl, repl,
+                      NamedSharding(mesh, P("data")), repl),
         out_shardings=repl,
     )
 
@@ -235,10 +257,22 @@ def build_stage1(
     optimizer = make_optimizer(lr, decay_steps=lr_decay_steps)
     state = init_train_state(enc_vars["params"], optimizer)
     w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
+    tp_examples = None
+    if mesh is not None:
+        from ..parallel.tp import shard_tree, wants_tp
+
+        if wants_tp(mesh):
+            # place params/optimizer/generator under their tp shardings up
+            # front so the first step does not reshard implicitly
+            state = shard_tree(state, mesh)
+            gen_vars = shard_tree(gen_vars, mesh)
+            tp_examples = (state, gen_vars)
     train_step = make_train_step(
-        encoder, generator, optimizer, lpips_apply, weights, mesh, remat
+        encoder, generator, optimizer, lpips_apply, weights, mesh, remat,
+        tp_examples=tp_examples,
     )
-    eval_step = make_eval_step(encoder, generator, lpips_apply, weights, mesh)
+    eval_step = make_eval_step(encoder, generator, lpips_apply, weights, mesh,
+                               tp_examples=tp_examples)
     return Stage1Setup(
         encoder=encoder,
         generator=generator,

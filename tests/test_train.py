@@ -110,6 +110,47 @@ def test_data_parallel_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5)
 
 
+def test_tensor_parallel_step_matches_single_device(monkeypatch):
+    """dp×tp over a 4×2 CPU mesh must agree with single-device training
+    (the tp shardings change only tensor placement, not math; XLA inserts
+    the channel-contraction collectives)."""
+    from image_compression_2_tpu.parallel import tp
+
+    # tiny-config channels (32) sit below the production sharding floor
+    monkeypatch.setattr(tp, "MIN_SHARD_DIM", 16)
+    monkeypatch.setattr(tp, "MIN_SHARD_ELEMS", 256)
+
+    enc_cfg, gen_cfg = _configs()
+    mesh = create_mesh(n_data=4, n_model=2)
+    setup_tp = build_stage1(enc_cfg, gen_cfg, use_lpips=False, mesh=mesh,
+                            seed=3)
+    setup_1d = build_stage1(enc_cfg, gen_cfg, use_lpips=False, seed=3)
+
+    n_tp = sum(
+        1 for leaf in jax.tree_util.tree_leaves(setup_tp.state.params)
+        if "model" in str(leaf.sharding.spec)
+    )
+    assert n_tp > 0, "no parameter was tp-sharded"
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), [8, RES, RES, 3],
+                           minval=-1, maxval=1)
+    key = jax.random.PRNGKey(6)
+    with mesh:
+        state_tp, m_tp = setup_tp.train_step(
+            setup_tp.state, setup_tp.gen_vars, None, setup_tp.w_avg,
+            shard_batch(np.asarray(x), mesh), key,
+        )
+    state_1d, m_1d = setup_1d.train_step(
+        setup_1d.state, setup_1d.gen_vars, None, setup_1d.w_avg, x, key
+    )
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1d["loss"]),
+                               rtol=1e-5)
+    flat_tp = jax.tree_util.tree_leaves(state_tp.params)
+    flat_1d = jax.tree_util.tree_leaves(state_1d.params)
+    for a, b in zip(flat_tp, flat_1d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     enc_cfg, gen_cfg = _configs()
     setup = build_stage1(enc_cfg, gen_cfg, use_lpips=False)
