@@ -69,6 +69,21 @@ class Compressor:
         self.generator_vars = generator_vars
         self.training_resolution = training_resolution
         self.mesh = mesh
+        if mesh is not None:
+            # Place the parameter trees on the mesh up front: channel-sharded
+            # over 'model' when the mesh has a tensor axis (parallel/tp.py),
+            # replicated otherwise.  Batches shard over 'data' per call (see
+            # _place); XLA propagates both through the jitted fns.
+            from ..parallel.mesh import replicated
+            from ..parallel.tp import shard_tree, wants_tp
+
+            if wants_tp(mesh):
+                self.encoder_vars = shard_tree(encoder_vars, mesh)
+                self.generator_vars = shard_tree(generator_vars, mesh)
+            else:
+                repl = replicated(mesh)
+                self.encoder_vars = jax.device_put(encoder_vars, repl)
+                self.generator_vars = jax.device_put(generator_vars, repl)
         # Stochastic-encode calls without an explicit key fold this counter
         # into a fixed base key, so consecutive calls draw fresh posterior
         # noise instead of silently reusing PRNGKey(0) every time.
@@ -169,6 +184,18 @@ class Compressor:
             else 1 << int(quantization_bits),
             chunk=chunk)
 
+    def _place(self, x):
+        """Shard a batch over the mesh's data axis when one is configured
+        (and the batch divides it); no-op otherwise."""
+        if self.mesh is None or not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        n_data = int(self.mesh.shape.get("data", 1))
+        if n_data > 1 and x.shape[0] % n_data == 0:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(np.asarray(x), self.mesh)
+        return x
+
     def _next_sample_key(self) -> jax.Array:
         """Fresh key for stochastic encodes when the caller supplied none."""
         key = jax.random.fold_in(jax.random.PRNGKey(0), self._sample_counter)
@@ -178,7 +205,8 @@ class Compressor:
     # -------------------------------------------------------------- user API
     def forward(self, x, sample_key: Optional[jax.Array] = None):
         """Encode + reconstruct. Returns (image, w_plus)."""
-        return self._forward_fn(self.encoder_vars, self.generator_vars, x, sample_key)
+        return self._forward_fn(self.encoder_vars, self.generator_vars,
+                                self._place(x), sample_key)
 
     __call__ = forward
 
@@ -188,7 +216,8 @@ class Compressor:
         if not deterministic and sample_key is None:
             sample_key = self._next_sample_key()
         w_plus, means, _ = self._encode_fn(
-            self.encoder_vars, x, None if deterministic else sample_key
+            self.encoder_vars, self._place(x),
+            None if deterministic else sample_key
         )
         return means if deterministic else w_plus
 
@@ -222,24 +251,26 @@ class Compressor:
             return quantize_uniform_per_layer(w, tuple(quantization_bits))
         if deterministic:
             return self._compress_fn[True](
-                self.encoder_vars, x, bits=int(quantization_bits)
+                self.encoder_vars, self._place(x), bits=int(quantization_bits)
             )
         if sample_key is None:
             sample_key = self._next_sample_key()
         return self._compress_fn[False](
-            self.encoder_vars, x, sample_key, bits=int(quantization_bits)
+            self.encoder_vars, self._place(x), sample_key,
+            bits=int(quantization_bits)
         )
 
     def roundtrip(self, x, quantization_bits: int = 8) -> jnp.ndarray:
         """Fused deterministic transcode: encode -> quantize -> synthesize in
         ONE compiled program (one dispatch, quantized latents never leave the
         device).  Numerically identical to compress() + decompress()."""
-        return self._roundtrip_fn(self.encoder_vars, self.generator_vars, x,
-                                  bits=int(quantization_bits))
+        return self._roundtrip_fn(self.encoder_vars, self.generator_vars,
+                                  self._place(x), bits=int(quantization_bits))
 
     def decompress(self, w_plus) -> jnp.ndarray:
         """W+ -> image via the frozen synthesis network."""
-        return self._synthesis_fn(self.generator_vars, jnp.asarray(w_plus))
+        return self._synthesis_fn(self.generator_vars,
+                                  self._place(jnp.asarray(w_plus)))
 
     def save_compressed(
         self, x, filename: str, quantization_bits=8,

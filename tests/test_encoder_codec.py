@@ -202,3 +202,41 @@ def test_default_pool_grids_unchanged():
     v = HVAEEncoder(cfg).init(jax.random.PRNGKey(0), x)
     fc1 = v["params"]["global_projector"]["fc1"]["kernel"]
     assert fc1.shape[1] == cfg.hidden_dim
+
+
+def test_mesh_compressor_matches_single_device(monkeypatch):
+    """A Compressor built over a data x model mesh (params channel-sharded
+    over 'model', batches auto-sharded over 'data' via _place) must
+    reproduce the single-device roundtrip bit-for-bit-ish (fp32 reduction
+    order only)."""
+    from image_compression_2_tpu.parallel import create_mesh
+    from image_compression_2_tpu.parallel import tp
+
+    monkeypatch.setattr(tp, "MIN_SHARD_DIM", 16)
+    monkeypatch.setattr(tp, "MIN_SHARD_ELEMS", 256)
+
+    gen_cfg = GeneratorConfig.tiny(img_resolution=32)
+    enc_cfg = EncoderConfig.tiny(
+        img_resolution=32, w_dim=gen_cfg.w_dim, num_ws=gen_cfg.num_ws
+    )
+    ref = Compressor.create(enc_cfg, gen_cfg, seed=0)
+    mesh = create_mesh(n_data=4, n_model=2)
+    dist = Compressor(enc_cfg, gen_cfg, ref.encoder_vars, ref.generator_vars,
+                      mesh=mesh)
+    n_tp = sum(
+        1 for leaf in jax.tree_util.tree_leaves(dist.generator_vars)
+        if "model" in str(leaf.sharding.spec)
+    )
+    assert n_tp > 0, "no generator tensor was tp-sharded"
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), [4, 32, 32, 3],
+                           minval=-1, maxval=1)
+    w_ref = ref.compress(x, quantization_bits=8)
+    with mesh:
+        w_dist = dist.compress(np.asarray(x), quantization_bits=8)
+        img_dist = dist.decompress(w_dist)
+    img_ref = ref.decompress(w_ref)
+    np.testing.assert_allclose(np.asarray(w_dist), np.asarray(w_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_dist), np.asarray(img_ref),
+                               atol=5e-4)
