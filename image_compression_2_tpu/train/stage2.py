@@ -89,6 +89,7 @@ def make_stage2_train_step(
     weights: LossWeights = LossWeights(gumbel=1.0),
     n_embeddings: int = 256,
     mesh: Optional[Mesh] = None,
+    tp_examples=None,
 ):
     loss_fn = make_stage2_loss_fn(
         encoder, generator, discretization, lpips_apply, weights, n_embeddings
@@ -106,10 +107,18 @@ def make_stage2_train_step(
     if mesh is None:
         return jax.jit(step_fn)
     repl = NamedSharding(mesh, P())
+    state_sh = gen_sh = repl
+    if tp_examples is not None:
+        from ..parallel.tp import tree_shardings, wants_tp
+
+        if wants_tp(mesh):
+            state_sh = tree_shardings(tp_examples[0], mesh)
+            gen_sh = tree_shardings(tp_examples[1], mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, repl, NamedSharding(mesh, P("data")), repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, gen_sh, repl, repl,
+                      NamedSharding(mesh, P("data")), repl),
+        out_shardings=(state_sh, repl),
     )
 
 
@@ -180,9 +189,17 @@ def build_stage2(
     params = {"encoder": encoder_params, "discretization": disc_vars["params"]}
     state = init_train_state(params, optimizer)
     w_avg = gen_vars["buffers"]["mapping"]["w_avg"]
+    tp_examples = None
+    if mesh is not None:
+        from ..parallel.tp import shard_tree, wants_tp
+
+        if wants_tp(mesh):
+            state = shard_tree(state, mesh)
+            gen_vars = shard_tree(gen_vars, mesh)
+            tp_examples = (state, gen_vars)
     train_step = make_stage2_train_step(
         encoder, generator, discretization, optimizer, lpips_apply, weights,
-        n_embeddings, mesh,
+        n_embeddings, mesh, tp_examples=tp_examples,
     )
 
     loss_fn = make_stage2_loss_fn(
@@ -199,9 +216,15 @@ def build_stage2(
         eval_step = jax.jit(eval_fn)
     else:
         repl = NamedSharding(mesh, P())
+        state_sh = gen_sh = repl
+        if tp_examples is not None:
+            from ..parallel.tp import tree_shardings
+
+            state_sh = tree_shardings(tp_examples[0], mesh)
+            gen_sh = tree_shardings(tp_examples[1], mesh)
         eval_step = jax.jit(
             eval_fn,
-            in_shardings=(repl, repl, repl, repl,
+            in_shardings=(state_sh, gen_sh, repl, repl,
                           NamedSharding(mesh, P("data")), repl),
             out_shardings=repl,
         )

@@ -182,3 +182,31 @@ def test_stage2_data_parallel_step():
     lt0 = float(setup.state.params["discretization"]["log_temperature"][0])
     lt1 = float(state.params["discretization"]["log_temperature"][0])
     assert lt0 != lt1
+
+
+def test_stage2_tensor_parallel_step(monkeypatch):
+    """Stage-2 joint training over a 4x2 data x model mesh: params shard
+    channel-wise over 'model' and the step still trains both groups."""
+    from image_compression_2_tpu.parallel import create_mesh, shard_batch, tp
+
+    monkeypatch.setattr(tp, "MIN_SHARD_DIM", 16)
+    monkeypatch.setattr(tp, "MIN_SHARD_ELEMS", 256)
+
+    enc_cfg, gen_cfg = _cfgs()
+    mesh = create_mesh(n_data=4, n_model=2)
+    setup = build_stage2(enc_cfg, gen_cfg, n_embeddings=16, use_lpips=False,
+                         mesh=mesh, seed=0)
+    n_tp = sum(
+        1 for leaf in jax.tree_util.tree_leaves(setup.state.params)
+        if "model" in str(leaf.sharding.spec)
+    )
+    assert n_tp > 0, "no stage-2 parameter was tp-sharded"
+    x = np.random.RandomState(0).uniform(-1, 1, [8, RES, RES, 3]).astype(
+        np.float32)
+    with mesh:
+        state, m = setup.train_step(
+            setup.state, setup.gen_vars, None, setup.w_avg,
+            shard_batch(x, mesh), jax.random.PRNGKey(1),
+        )
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
