@@ -54,6 +54,9 @@ def filtered_lrelu(
     ``pallas_flrelu_wfuse``), 'mmfuse2' (the transpose-free variant of
     mmfuse: native-layout MXU contractions, NHWC in, channels-before-width
     out, restored by the closing H-down einsum; ``pallas_flrelu_wfuse2``),
+    'mmfuse3' (channels-middle layout end-to-end: the H-up einsum emits
+    [B,H2,C,W], both kernel contractions are classic matmuls, and the
+    backward fuses completely; ``pallas_flrelu_wfuse3``),
     'tiled' (the fused H-tiled Pallas kernel,
     ``pallas_flrelu_tiled`` — one HBM read + one write per plane instead
     of four roundtrips), or 'auto' (the measured per-geometry winner from
@@ -106,6 +109,22 @@ def filtered_lrelu(
             )
         if not auto:
             raise ValueError("no legal wfuse2 block for this geometry")
+        mode = "matmul"  # stale policy entry: degrade, don't crash
+    if mode == "mmfuse3":
+        if not (separable and (up > 1 or down > 1)):
+            raise ValueError(
+                "mode='mmfuse3' requires separable 1-D filters and up/down > 1")
+        from .pallas_flrelu_wfuse3 import filtered_lrelu_wfuse3, fits_wfuse3
+
+        B, H, W, C = x.shape
+        if fits_wfuse3(B, H, W, C, up, down, tu, td,
+                       (px0, px1, py0, py1), dtype=x.dtype):
+            return filtered_lrelu_wfuse3(
+                x, fu, fd, b, up=up, down=down, padding=padding,
+                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
+            )
+        if not auto:
+            raise ValueError("no legal wfuse3 block for this geometry")
         mode = "matmul"  # stale policy entry: degrade, don't crash
     if mode == "tiled":
         if not (separable and (up > 1 or down > 1)):

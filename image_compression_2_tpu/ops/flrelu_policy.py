@@ -24,7 +24,7 @@ _policy: Optional[Dict[str, str]] = None
 # mode='auto' degrades them to matmul there.  Tests that exercise the
 # routing under the Pallas interpreter set this to True.
 FORCE_PALLAS_ON_CPU = False
-_PALLAS_MODES = frozenset({"tiled", "mmfuse", "mmfuse2"})
+_PALLAS_MODES = frozenset({"tiled", "mmfuse", "mmfuse2", "mmfuse3"})
 
 
 def usable(winner: Optional[str]) -> Optional[str]:

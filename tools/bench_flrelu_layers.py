@@ -30,6 +30,7 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
     from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
     from image_compression_2_tpu.ops.pallas_flrelu_wfuse import fits_wfuse
     from image_compression_2_tpu.ops.pallas_flrelu_wfuse2 import fits_wfuse2
+    from image_compression_2_tpu.ops.pallas_flrelu_wfuse3 import fits_wfuse3
     from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
 
     cfg = GeneratorConfig(img_resolution=res)
@@ -79,6 +80,14 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
             if m == "mmfuse2" and (
                 np.ndim(fu) > 1 or np.ndim(fd) > 1
                 or not fits_wfuse2(
+                    batch, H, H, C, spec.up_factor, spec.down_factor,
+                    spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
+            ):
+                row += f" {'n/a':>10s}"
+                continue
+            if m == "mmfuse3" and (
+                np.ndim(fu) > 1 or np.ndim(fd) > 1
+                or not fits_wfuse3(
                     batch, H, H, C, spec.up_factor, spec.down_factor,
                     spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
             ):
@@ -168,7 +177,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--modes", default="matmul,sandwich,mmfuse2,conv")
+    ap.add_argument("--modes", default="matmul,sandwich,mmfuse2,mmfuse3,conv")
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (jax.grad of a scalar loss) instead "
                          "of the forward — the training path's cost; "

@@ -14,7 +14,7 @@ python tools/bench_flrelu_layers.py --emit-policy \
   2>&1 | tee runs/r3_policy3_log.txt
 
 echo "== [1b/3] fwd+bwd timing (training path; BWD_FUSED decision data) =="
-python tools/bench_flrelu_layers.py --grad --modes matmul,sandwich,mmfuse2 \
+python tools/bench_flrelu_layers.py --grad --modes matmul,sandwich,mmfuse2,mmfuse3 \
   --res 256 --batch 8 2>&1 | tee runs/r3_grad_timing.txt || true
 
 echo "== [2/3] headline bench =="
