@@ -518,7 +518,9 @@ def main(argv=None):
     p.add_argument("--n-embeddings", type=int, default=256)
     p.add_argument("--kl-weight", type=float, default=0.01)
     p.add_argument("--perceptual-weight", type=float, default=0.8)
-    p.add_argument("--gumbel-weight", type=float, default=1.0)
+    # 0.1 with the normalized perplexity loss ≈ the reference's intent at a
+    # scale that does not swamp rec/perceptual (see train/losses.py)
+    p.add_argument("--gumbel-weight", type=float, default=0.1)
     p.add_argument("--rec-weight", type=float, default=1.0)
     p.add_argument("--w-weight", type=float, default=0.0,
                    help="W+-space L2 supervision weight (synthetic data)")

@@ -11,6 +11,19 @@ a pure VPU+MXU computation with a static shape — instead of the reference's
 flattened per-element loop semantics (identical math).  Usage statistics are
 returned functionally (histogram via one-hot sum) rather than mutated in a
 buffer, so every apply stays pure under jit; the trainer accumulates them.
+
+Deliberate numerical fix vs the reference (``logit_scale``): the reference
+feeds raw ``-|z - c|`` distances as logits (gumbel_softmax_compression.py:100),
+so adjacent codebook entries differ by only 2/(n-1) ≈ 0.008 logits at n=256.
+At tau≈1 the softmax over the codebook is then within <1% of uniform
+(measured perplexity pinned at ~252/256 in round-3 training), the
+straight-through gradient to the encoder through ``soft`` all but vanishes,
+and unit-scale Gumbel noise makes the sampled code nearly independent of z.
+Here logits measure distance in units of the codebook spacing by default
+(``logit_scale = (n-1)/2``): adjacent codes differ by 1.0 logit, Gumbel
+sampling dithers locally between neighbouring codes (stochastic rounding),
+and the relaxation carries usable gradients.  Pass ``logit_scale=1.0`` to
+reproduce the reference's exact (degenerate) behaviour.
 """
 
 from __future__ import annotations
@@ -30,9 +43,17 @@ class GumbelSoftmaxDiscretization(nn.Module):
     n_embeddings: int = 256
     initial_temperature: float = 1.0
     learnable_temp: bool = True
+    # None -> (n_embeddings-1)/2, i.e. distances in codebook-spacing units
+    # (see module docstring); 1.0 reproduces the reference's raw distances.
+    logit_scale: Optional[float] = None
 
     def codebook(self) -> jnp.ndarray:
         return jnp.linspace(-1.0, 1.0, self.n_embeddings, dtype=jnp.float32)
+
+    def _logit_scale(self) -> float:
+        if self.logit_scale is not None:
+            return float(self.logit_scale)
+        return (self.n_embeddings - 1) / 2.0
 
     @nn.compact
     def __call__(
@@ -60,7 +81,7 @@ class GumbelSoftmaxDiscretization(nn.Module):
 
         flat_z = z.reshape(-1, 1).astype(jnp.float32)
         distances = jnp.abs(flat_z - codebook[None, :])  # [N, n_emb]
-        logits = -distances
+        logits = -distances * self._logit_scale()
 
         if key is not None:
             u = jax.random.uniform(
@@ -85,7 +106,17 @@ class GumbelSoftmaxDiscretization(nn.Module):
         discretized = (assign @ codebook[:, None]).reshape(orig_shape)
         encoding_indices = jnp.argmin(distances, axis=1).reshape(orig_shape)
 
-        avg_probs = jnp.mean(soft, axis=0)
+        # Usage statistics with the temperature DETACHED: the stage-2
+        # perplexity loss must push the *encoder* to spread its latents over
+        # the codebook, never the temperature to blur assignments — in the
+        # reference, perplexity→n pressure flows into the learnable
+        # log_temperature and drives it monotonically UP against the anneal
+        # (observed in the round-3 run, epochs 41-48).  Gradients still flow
+        # to the logits (i.e. to z), so the usage loss remains effective.
+        soft_stats = jax.nn.softmax(
+            logits_pert / jax.lax.stop_gradient(tau), axis=1
+        )
+        avg_probs = jnp.mean(soft_stats, axis=0)
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
         return discretized, perplexity, encoding_indices
 

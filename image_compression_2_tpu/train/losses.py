@@ -49,5 +49,13 @@ def kl_to_w_avg(
 
 def perplexity_loss(perplexity: jnp.ndarray, n_embeddings: int) -> jnp.ndarray:
     """Stage-2 codebook-usage loss: push perplexity toward full usage
-    (reference: gumbel_softmax_compression.py:549-558)."""
-    return jnp.square(perplexity - float(n_embeddings))
+    (reference: gumbel_softmax_compression.py:549-558).
+
+    Deliberate fix vs the reference: normalized to ``(1 - p/n)² ∈ [0, 1]``.
+    The reference's raw ``(p - n)²`` only looked harmless because its
+    degenerate logit scale pinned p ≈ n (see quant/gumbel.py docstring); with
+    meaningful assignments p is O(n/4) and the raw form (~10⁴) would swamp the
+    reconstruction losses — and, worse, reward *raising* the temperature to
+    blur assignments back toward uniform (observed: the learnable temperature
+    climbing monotonically against the anneal in the round-3 run)."""
+    return jnp.square(1.0 - perplexity / float(n_embeddings))

@@ -41,8 +41,13 @@ def make_stage2_loss_fn(
         w_plus, means, logvars = encoder.apply(
             {"params": params["encoder"]}, x, enc_key
         )
+        # hard=True: straight-through quantization-aware training — the
+        # generator sees exactly the codebook values the decode path will see
+        # (the reference trains on the soft relaxation, hard=False; with the
+        # corrected logit scale the hard ST path is strictly closer to the
+        # deployed codec and the Gumbel noise acts as local dithering)
         w_disc, perplexity, _ = discretization.apply(
-            {"params": params["discretization"]}, means, hard=False, key=gum_key
+            {"params": params["discretization"]}, means, hard=True, key=gum_key
         )
         img = generator.apply(gen_vars, w_disc, method="synthesis")
         if img.shape[1] != x.shape[1]:

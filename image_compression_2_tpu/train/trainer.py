@@ -396,7 +396,7 @@ def train_gumbel_hvae(
     n_embeddings: int = 256,
     kl_weight: float = 0.01,
     perceptual_weight: float = 0.8,
-    gumbel_weight: float = 1.0,
+    gumbel_weight: float = 0.1,
     rec_weight: float = 1.0,
     bf16: bool = False,
     resume_from: Optional[str] = None,

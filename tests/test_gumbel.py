@@ -75,6 +75,51 @@ def test_soft_path_differentiable_and_noisy():
     np.testing.assert_allclose(dists, 0, atol=1e-6)
 
 
+def test_logit_scale_fixes_degenerate_relaxation():
+    """The default logit scale (distances in codebook-spacing units) carries
+    real straight-through gradients; logit_scale=1.0 reproduces the
+    reference's raw-distance logits (gumbel_softmax_compression.py:100),
+    whose softmax over the codebook is near-uniform (perplexity ≈ n) and
+    whose Gumbel-sampled hard codes are nearly independent of z (the noise
+    swamps logit gaps of 2/(n-1))."""
+    n = 256
+    spacing = 2.0 / (n - 1)
+    # a single element: the returned (batch-usage) perplexity then measures
+    # the sharpness of one soft assignment
+    z1 = jnp.asarray([[[0.1]]], jnp.float32)
+    # and a batch for the sampling-locality check
+    zb = jnp.asarray(np.random.RandomState(0).uniform(-0.9, 0.9, [1, 8, 64]),
+                     jnp.float32)
+
+    def probe(disc):
+        variables = disc.init(jax.random.PRNGKey(0), z1)
+        _, perp, _ = disc.apply(variables, z1, hard=False, key=None)
+        d, _, _ = disc.apply(variables, zb, hard=True,
+                             key=jax.random.PRNGKey(7))
+        return float(perp), float(jnp.abs(d - zb).max())
+
+    p_fixed, err_fixed = probe(GumbelSoftmaxDiscretization(n_embeddings=n))
+    p_ref, err_ref = probe(
+        GumbelSoftmaxDiscretization(n_embeddings=n, logit_scale=1.0))
+    assert p_ref > 0.9 * n           # reference scale: uniform blob
+    assert p_fixed < 0.25 * n        # fixed scale: concentrated assignments
+    # fixed scale: noisy hard samples stay local (dithering between a few
+    # neighbouring codes); reference scale: sampling is essentially random
+    # over the codebook
+    assert err_fixed < 8 * spacing
+    assert err_ref > 0.3
+
+
+def test_perplexity_loss_normalized():
+    from image_compression_2_tpu.train.losses import perplexity_loss
+
+    # bounded in [0, 1]; zero at full usage
+    assert float(perplexity_loss(jnp.asarray(256.0), 256)) == 0.0
+    v = float(perplexity_loss(jnp.asarray(64.0), 256))
+    assert 0.0 < v <= 1.0
+    np.testing.assert_allclose(v, (1 - 64 / 256) ** 2, atol=1e-6)
+
+
 def test_anneal_schedule():
     lt = jnp.asarray([np.log(1.0)])
     lt2 = anneal_log_temperature(lt, anneal_rate=0.1, min_temp=0.5)
