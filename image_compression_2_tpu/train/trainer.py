@@ -262,6 +262,36 @@ def _decay_steps(lr_decay: bool, num_epochs: int, train_samples: int,
     return num_epochs * max(1, n // batch_size)
 
 
+def resolve_resume_checkpoint(resume_from: Optional[str]) -> Optional[str]:
+    """Resolve a --resume path, falling back to the NEWEST epoch_*.ic2t in
+    the sibling checkpoints/ directory when the named file (typically
+    *_final.ic2t) is missing.  A wedged run that never wrote its final file
+    then costs only the epochs since the last save instead of zeroing out
+    the whole downstream chain (round-3 post-mortem: a relay drop at epoch
+    11/32 killed stage-2 + RD for the night).  Loud warning; still a hard
+    error when no fallback exists — silently training from scratch with a
+    wrong lineage wastes hours of chip time before anyone notices."""
+    if resume_from is None or os.path.exists(resume_from):
+        return resume_from
+    ckpt_dir = os.path.join(os.path.dirname(resume_from), "checkpoints")
+    cands = []
+    if os.path.isdir(ckpt_dir):
+        for f in os.listdir(ckpt_dir):
+            if f.startswith("epoch_") and f.endswith(".ic2t"):
+                try:
+                    cands.append((int(f[6:-5]), os.path.join(ckpt_dir, f)))
+                except ValueError:
+                    pass
+    if cands:
+        epoch, best = max(cands)
+        print(f"WARNING: --resume {resume_from} not found; falling back to "
+              f"the newest checkpoint {best} (epoch {epoch})", flush=True)
+        return best
+    raise FileNotFoundError(
+        f"--resume checkpoint not found: {resume_from} "
+        f"(and no epoch_*.ic2t fallback in {ckpt_dir})")
+
+
 def _arch_from_ckpt(resume_from: Optional[str]) -> Dict:
     """Encoder-architecture knobs recorded in a checkpoint's meta, so a
     resumed/warm-started run reconstructs the exact encoder without the
@@ -324,6 +354,7 @@ def train_hvae_encoder(
     simple_stylegan_encoder.py:248).  ``pool_grids``/``hidden_dims`` select
     the spatially-aware projector heads (EncoderConfig docs)."""
     generator_cfg = generator_cfg or GeneratorConfig()
+    resume_from = resolve_resume_checkpoint(resume_from)
     arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,
@@ -421,6 +452,7 @@ def train_gumbel_hvae(
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
     generator_cfg = generator_cfg or GeneratorConfig()
+    resume_from = resolve_resume_checkpoint(resume_from)
     arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}
     encoder_cfg = encoder_cfg or EncoderConfig(
         img_resolution=max_resolution,

@@ -205,6 +205,27 @@ def test_stage1_synthetic_val_split(tmp_path):
     assert "val_rec_loss" in history
 
 
+def test_resume_falls_back_to_newest_epoch_checkpoint(tmp_path):
+    """A missing *_final.ic2t resolves to the newest epoch_*.ic2t in the
+    sibling checkpoints/ dir (round-3 post-mortem: a wedge at epoch 11
+    zeroed out the whole downstream chain because resume hard-required the
+    final file)."""
+    from image_compression_2_tpu.train.trainer import resolve_resume_checkpoint
+
+    run = tmp_path / "run"
+    (run / "checkpoints").mkdir(parents=True)
+    for e in (3, 10, 8):
+        (run / "checkpoints" / f"epoch_{e}.ic2t").write_bytes(b"x")
+    got = resolve_resume_checkpoint(str(run / "final.ic2t"))
+    assert got == str(run / "checkpoints" / "epoch_10.ic2t")
+    # an existing path resolves to itself; None passes through
+    assert resolve_resume_checkpoint(got) == got
+    assert resolve_resume_checkpoint(None) is None
+    # no fallback available -> still a hard error
+    with pytest.raises(FileNotFoundError):
+        resolve_resume_checkpoint(str(tmp_path / "empty" / "final.ic2t"))
+
+
 def test_missing_resume_checkpoint_is_a_hard_error(tmp_path):
     """A missing --resume file must raise, not silently train from scratch
     (a silent skip once produced a wrong-lineage stage-2 checkpoint after a

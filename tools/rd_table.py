@@ -52,8 +52,43 @@ def main():
                     help="sweep per-layer bit allocations vs flat rows and "
                          "report the RD frontier "
                          "(/root/reference/stylegan3_hvae_guide.md:335-340)")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="codec evaluation batch size (eval sets larger than "
+                         "this are processed in chunks)")
     ap.add_argument("--out", default="RD_TABLE.md")
     args = ap.parse_args()
+
+    def resolve_ckpt(path, what):
+        """Fall back to the newest checkpoints/epoch_*.ic2t next to a missing
+        *_final.ic2t so one wedged training phase cannot zero out the whole
+        RD pipeline (round-3 post-mortem)."""
+        if path is None or os.path.exists(path):
+            return path
+        ckpt_dir = os.path.join(os.path.dirname(path), "checkpoints")
+        cands = []
+        if os.path.isdir(ckpt_dir):
+            for f in os.listdir(ckpt_dir):
+                if f.startswith("epoch_") and f.endswith(".ic2t"):
+                    try:
+                        cands.append((int(f[6:-5]), os.path.join(ckpt_dir, f)))
+                    except ValueError:
+                        pass
+        if not cands:
+            raise FileNotFoundError(
+                f"{what}: {path} missing and no epoch_*.ic2t fallback in "
+                f"{ckpt_dir}")
+        epoch, best = max(cands)
+        print(f"WARNING: {what} {path} missing — falling back to the newest "
+              f"checkpoint {best} (epoch {epoch})", flush=True)
+        return best
+
+    args.stage1 = resolve_ckpt(args.stage1, "--stage1")
+    if args.stage2:
+        try:
+            args.stage2 = resolve_ckpt(args.stage2, "--stage2")
+        except FileNotFoundError as e:
+            print(f"WARNING: {e} — skipping stage-2 rows", flush=True)
+            args.stage2 = None
 
     import jax
     import jax.numpy as jnp
@@ -106,35 +141,66 @@ def main():
         resolution=res, seed=args.eval_seed, truncation_psi=args.truncation)
     images = np.stack([ds[i][0] if isinstance(ds[i], tuple) else ds[i]
                        for i in range(n_total)])
-    x_eval = jnp.asarray(images[:args.n_eval])
+    x_eval = images[:args.n_eval]  # host array; codec calls chunk + device-put
     x_calib = jnp.asarray(images[args.n_eval:])
     pix_bytes = args.n_eval * res * res * 3 * 4 / args.n_eval  # per image
 
     _, lp_vars, lp_apply = create_lpips(seed=0, image_size=res)
 
     def metrics(x, recon, comp_bytes_per_img):
-        x = jnp.asarray(x, jnp.float32)
-        recon = jnp.asarray(recon, jnp.float32)
-        if recon.shape[1] != x.shape[1]:
-            recon = jax.image.resize(recon, x.shape, method="bilinear")
-        p = float(jnp.mean(psnr(x, recon)))
-        m = float(jnp.mean(ms_ssim(x, recon)))
-        lp = float(jnp.mean(lp_apply(lp_vars, x, recon)))
+        """Per-image PSNR/MS-SSIM with a 95% CI on the PSNR mean (the eval
+        set is held-out samples, so the CI is over sample draw)."""
+        ps, ms_sum, lp_sum = [], 0.0, 0.0
+        for i in range(0, len(x), args.chunk):
+            xc = jnp.asarray(x[i:i + args.chunk], jnp.float32)
+            rc = jnp.asarray(recon[i:i + args.chunk], jnp.float32)
+            if rc.shape[1] != xc.shape[1]:
+                rc = jax.image.resize(rc, xc.shape, method="bilinear")
+            # per-image PSNR for the CI (metrics.quality.psnr is batch-mean)
+            mse = np.mean(np.square(np.asarray(xc) - np.asarray(rc)),
+                          axis=(1, 2, 3))
+            ps.append(10.0 * np.log10(4.0 / np.maximum(mse, 1e-12)))
+            n_c = xc.shape[0]
+            ms_sum += float(ms_ssim(xc, rc)) * n_c
+            lp_sum += float(jnp.mean(lp_apply(lp_vars, xc, rc))) * n_c
+        ps = np.concatenate(ps)
+        ci = 1.96 * float(ps.std(ddof=1)) / np.sqrt(len(ps)) if len(ps) > 1 \
+            else 0.0
         return {
-            "psnr": round(p, 2),
-            "ms_ssim": round(m, 4),
-            "lpips_rf": round(lp, 4),
+            "psnr": round(float(ps.mean()), 2),
+            "psnr_ci95": round(float(ci), 2),
+            "ms_ssim": round(ms_sum / len(ps), 4),
+            "lpips_rf": round(lp_sum / len(ps), 4),
             "ratio": round(pix_bytes / comp_bytes_per_img, 1),
             "bpp": round(bits_per_pixel(comp_bytes_per_img, res, res), 3),
         }
 
+    def chunked_rt(fn, x):
+        """Run a (chunk -> (recon, total_comp_bytes)) codec roundtrip over x
+        in --chunk batches; returns (recon, comp_bytes_per_image)."""
+        recons, total = [], 0.0
+        for i in range(0, len(x), args.chunk):
+            r, b = fn(jnp.asarray(x[i:i + args.chunk]))
+            recons.append(np.asarray(r, np.float32))
+            total += float(b)
+        return np.concatenate(recons), total / len(x)
+
+    def chunked_map(fn, x):
+        return np.concatenate([
+            np.asarray(fn(jnp.asarray(x[i:i + args.chunk])))
+            for i in range(0, len(x), args.chunk)
+        ])
+
     rows = {}
 
     uni = Compressor(enc_cfg, gen_cfg, enc1, gen_vars, precision=precision)
+
+    def uni_rt(xc, bits):
+        w = uni.compress(xc, quantization_bits=bits)
+        return uni.decompress(w), w.size * bits / 8
+
     for bits in (4, 8, 10):
-        w = uni.compress(x_eval, quantization_bits=bits)
-        recon = uni.decompress(w)
-        comp = w.size / args.n_eval * bits / 8
+        recon, comp = chunked_rt(lambda xc, b=bits: uni_rt(xc, b), x_eval)
         rows[f"uniform-{bits}bit"] = metrics(x_eval, recon, comp)
         print(f"uniform-{bits}bit: {rows[f'uniform-{bits}bit']}", flush=True)
 
@@ -146,9 +212,10 @@ def main():
     n_ws = gen_cfg.num_ws
     alloc = tuple(base[min(i * len(base) // n_ws, len(base) - 1)]
                   for i in range(n_ws))
-    w = uni.compress(x_eval, quantization_bits=alloc)
-    recon = uni.decompress(w)
     comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
+    recon = chunked_map(
+        lambda xc: uni.decompress(uni.compress(xc, quantization_bits=alloc)),
+        x_eval)
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
 
@@ -157,24 +224,29 @@ def main():
         # Encode-time inversion refinement (codec/refine.py): same container,
         # same rate — the rows isolate how much of the distortion was
         # amortised-inference error vs quantization error.
-        w0 = uni.encode(x_eval, deterministic=True)
-        w_ref = uni.refine(w0, x_eval, steps=args.refine, lr=args.refine_lr)
         from image_compression_2_tpu.quant.uniform import quantize_uniform
 
+        w_ref = chunked_map(
+            lambda xc: uni.refine(uni.encode(xc, deterministic=True), xc,
+                                  steps=args.refine, lr=args.refine_lr),
+            x_eval)
         for bits in (4, 8):
-            w = quantize_uniform(w_ref, bits)
+            w = quantize_uniform(jnp.asarray(w_ref), bits)
             comp = w.size / args.n_eval * bits / 8
             name = f"uniform-{bits}bit+refine{args.refine}"
-            rows[name] = metrics(x_eval, uni.decompress(w), comp)
+            rows[name] = metrics(x_eval, chunked_map(uni.decompress, w), comp)
             print(f"{name}: {rows[name]}", flush=True)
         # quantization-aware variant at 4 bits (straight-through rounding in
         # the refinement loss) — matters once distortion responds to rate
-        w_qa = uni.refine(w0, x_eval, steps=args.refine, lr=args.refine_lr,
-                          quantization_bits=4)
-        w = quantize_uniform(w_qa, 4)
+        w_qa = chunked_map(
+            lambda xc: uni.refine(uni.encode(xc, deterministic=True), xc,
+                                  steps=args.refine, lr=args.refine_lr,
+                                  quantization_bits=4),
+            x_eval)
+        w = quantize_uniform(jnp.asarray(w_qa), 4)
         comp = w.size / args.n_eval * 4 / 8
         name = f"uniform-4bit+refine{args.refine}-qa"
-        rows[name] = metrics(x_eval, uni.decompress(w), comp)
+        rows[name] = metrics(x_eval, chunked_map(uni.decompress, w), comp)
         print(f"{name}: {rows[name]}", flush=True)
 
     if args.uniform_cabac:
@@ -184,33 +256,34 @@ def main():
         # the coder beats raw fixed-width packing.
         from image_compression_2_tpu.codec import UniformCABACCompressor
 
+        def uc_rt(uc, **kw):
+            def fn(xc):
+                payload, meta = uc.compress_entropy(xc, **kw)
+                return uc.decompress_entropy(payload, meta), meta["comp_size"]
+            return fn
+
         for bits in (4, 8):
             uc = UniformCABACCompressor(
                 enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
                 quantization_bits=bits)
-            payload, meta = uc.compress_entropy(x_eval, use_priors=False)
-            recon = uc.decompress_entropy(payload, meta)
+            recon, comp = chunked_rt(uc_rt(uc, use_priors=False), x_eval)
             name = f"uniform-{bits}bit+cabac"
-            rows[name] = metrics(x_eval, recon,
-                                 meta["comp_size"] / args.n_eval)
+            rows[name] = metrics(x_eval, recon, comp)
             print(f"{name}: {rows[name]}", flush=True)
             if args.n_calib:
                 uc.calibrate(x_calib)
-                payload, meta = uc.compress_entropy(x_eval, use_priors=True)
-                recon = uc.decompress_entropy(payload, meta)
+                recon, comp = chunked_rt(uc_rt(uc, use_priors=True), x_eval)
                 name = f"uniform-{bits}bit+cabac+priors"
-                rows[name] = metrics(x_eval, recon,
-                                     meta["comp_size"] / args.n_eval)
+                rows[name] = metrics(x_eval, recon, comp)
                 print(f"{name}: {rows[name]}", flush=True)
                 if args.refine:
                     # refined codes have tighter statistics: recalibrate
                     uc.calibrate(x_calib, refine_steps=args.refine)
-                    payload, meta = uc.compress_entropy(
-                        x_eval, use_priors=True, refine_steps=args.refine)
-                    recon = uc.decompress_entropy(payload, meta)
+                    recon, comp = chunked_rt(
+                        uc_rt(uc, use_priors=True, refine_steps=args.refine),
+                        x_eval)
                     name = f"uniform-{bits}bit+cabac+priors+refine{args.refine}"
-                    rows[name] = metrics(x_eval, recon,
-                                         meta["comp_size"] / args.n_eval)
+                    rows[name] = metrics(x_eval, recon, comp)
                     print(f"{name}: {rows[name]}", flush=True)
 
     sweep_note = ""
@@ -234,15 +307,15 @@ def main():
         }
         sweep = {}
         for name, alloc in candidates.items():
-            w = uni.compress(x_eval, quantization_bits=alloc)
             comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
-            sweep[name] = metrics(x_eval, uni.decompress(w), comp)
+            recon = chunked_map(
+                lambda xc, a=alloc: uni.decompress(
+                    uni.compress(xc, quantization_bits=a)), x_eval)
+            sweep[name] = metrics(x_eval, recon, comp)
             print(f"{name}: {sweep[name]}", flush=True)
         for bits in (2, 3, 5, 6):
-            w = uni.compress(x_eval, quantization_bits=bits)
-            comp = w.size / args.n_eval * bits / 8
-            sweep[f"flat-{bits}bit"] = metrics(
-                x_eval, uni.decompress(w), comp)
+            recon, comp = chunked_rt(lambda xc, b=bits: uni_rt(xc, b), x_eval)
+            sweep[f"flat-{bits}bit"] = metrics(x_eval, recon, comp)
             print(f"flat-{bits}bit: {sweep[f'flat-{bits}bit']}", flush=True)
         dominated = [
             (pn, fn) for pn, pm in sweep.items() if pn.startswith("alloc")
@@ -271,16 +344,18 @@ def main():
 
             rsweep = {}
             for name, alloc in candidates.items():
-                w = quantize_uniform_per_layer(w_ref, alloc)
+                w = quantize_uniform_per_layer(jnp.asarray(w_ref), alloc)
                 comp = per_layer_comp_size_bytes(alloc, gen_cfg.w_dim)
                 rname = f"{name}+refine{args.refine}"
-                rsweep[rname] = metrics(x_eval, uni.decompress(w), comp)
+                rsweep[rname] = metrics(
+                    x_eval, chunked_map(uni.decompress, w), comp)
                 print(f"{rname}: {rsweep[rname]}", flush=True)
             for bits in (3, 5, 6):
-                w = quantize_uniform(w_ref, bits)
+                w = quantize_uniform(jnp.asarray(w_ref), bits)
                 comp = w.size / args.n_eval * bits / 8
                 rname = f"flat-{bits}bit+refine{args.refine}"
-                rsweep[rname] = metrics(x_eval, uni.decompress(w), comp)
+                rsweep[rname] = metrics(
+                    x_eval, chunked_map(uni.decompress, w), comp)
                 print(f"{rname}: {rsweep[rname]}", flush=True)
             refined_flat = {
                 n: m for n, m in {**rows, **rsweep}.items()
@@ -312,27 +387,31 @@ def main():
             disc_vars={"params": p2["discretization"]}, n_embeddings=n_emb,
             precision=precision)
 
-        codes = cab.compress(x_eval)
-        recon = cab.decompress(codes)
-        comp_raw = codes.size / args.n_eval * np.log2(n_emb) / 8
+        def cab_rt(last_meta, **kw):
+            def fn(xc):
+                payload, meta = cab.compress_entropy(xc, use_cabac=True, **kw)
+                last_meta.update(meta)
+                return cab.decompress_entropy(payload, meta), meta["comp_size"]
+            return fn
+
+        recon, comp_raw = chunked_rt(
+            lambda xc: (cab.decompress(cab.compress(xc)),
+                        xc.shape[0] * gen_cfg.num_ws * gen_cfg.w_dim
+                        * np.log2(n_emb) / 8),
+            x_eval)
         rows[f"gumbel-{n_emb}-raw"] = metrics(x_eval, recon, comp_raw)
         print(f"gumbel-{n_emb}-raw: {rows[f'gumbel-{n_emb}-raw']}", flush=True)
 
-        payload, meta = cab.compress_entropy(x_eval, use_cabac=True,
-                                             use_priors=False)
-        rows["gumbel+cabac"] = metrics(
-            x_eval, cab.decompress_entropy(payload, meta),
-            meta["comp_size"] / args.n_eval)
-        rows["gumbel+cabac"]["codec"] = meta["codec"]
+        lm = {}
+        recon, comp = chunked_rt(cab_rt(lm, use_priors=False), x_eval)
+        rows["gumbel+cabac"] = metrics(x_eval, recon, comp)
+        rows["gumbel+cabac"]["codec"] = lm["codec"]
         print(f"gumbel+cabac: {rows['gumbel+cabac']}", flush=True)
 
         cab.calibrate(x_calib)
-        payload, meta = cab.compress_entropy(x_eval, use_cabac=True,
-                                             use_priors=True)
-        rows["gumbel+cabac+priors"] = metrics(
-            x_eval, cab.decompress_entropy(payload, meta),
-            meta["comp_size"] / args.n_eval)
-        rows["gumbel+cabac+priors"]["codec"] = meta["codec"]
+        recon, comp = chunked_rt(cab_rt(lm, use_priors=True), x_eval)
+        rows["gumbel+cabac+priors"] = metrics(x_eval, recon, comp)
+        rows["gumbel+cabac+priors"]["codec"] = lm["codec"]
         print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}", flush=True)
 
         if args.refine:
@@ -342,34 +421,33 @@ def main():
             # recalibrated on refined codes — refined statistics are tighter,
             # so an unrefined prior table under-models them.
             name = f"gumbel+cabac+refine{args.refine}"
-            payload, meta = cab.compress_entropy(
-                x_eval, use_cabac=True, use_priors=False,
-                refine_steps=args.refine, refine_lr=args.refine_lr)
-            rows[name] = metrics(x_eval, cab.decompress_entropy(payload, meta),
-                                 meta["comp_size"] / args.n_eval)
-            rows[name]["codec"] = meta["codec"]
+            recon, comp = chunked_rt(
+                cab_rt(lm, use_priors=False, refine_steps=args.refine,
+                       refine_lr=args.refine_lr), x_eval)
+            rows[name] = metrics(x_eval, recon, comp)
+            rows[name]["codec"] = lm["codec"]
             print(f"{name}: {rows[name]}", flush=True)
 
             cab.calibrate(x_calib, refine_steps=args.refine)
             name = f"gumbel+cabac+priors+refine{args.refine}"
-            payload, meta = cab.compress_entropy(
-                x_eval, use_cabac=True, use_priors=True,
-                refine_steps=args.refine, refine_lr=args.refine_lr)
-            rows[name] = metrics(x_eval, cab.decompress_entropy(payload, meta),
-                                 meta["comp_size"] / args.n_eval)
-            rows[name]["codec"] = meta["codec"]
+            recon, comp = chunked_rt(
+                cab_rt(lm, use_priors=True, refine_steps=args.refine,
+                       refine_lr=args.refine_lr), x_eval)
+            rows[name] = metrics(x_eval, recon, comp)
+            rows[name]["codec"] = lm["codec"]
             print(f"{name}: {rows[name]}", flush=True)
 
     header = (f"# Rate-distortion table — {res}², {args.n_eval} HELD-OUT "
               f"samples (seed {args.eval_seed}, psi={args.truncation})\n\n"
+              "PSNR is mean ± 95% CI over the held-out samples.  "
               "LPIPS column = random-feature fallback (no pretrained VGG "
               "in this environment): comparable between rows, not with the "
               "reference's absolute LPIPS.\n\n"
               "| method | PSNR (dB) | MS-SSIM | LPIPS(rf) | ratio | bpp |\n"
               "|---|---|---|---|---|---|\n")
     lines = [
-        f"| {name} | {m['psnr']} | {m['ms_ssim']} | {m['lpips_rf']} "
-        f"| {m['ratio']}:1 | {m['bpp']} |"
+        f"| {name} | {m['psnr']} ± {m.get('psnr_ci95', 0)} | {m['ms_ssim']} "
+        f"| {m['lpips_rf']} | {m['ratio']}:1 | {m['bpp']} |"
         for name, m in rows.items()
     ]
     footer = (
