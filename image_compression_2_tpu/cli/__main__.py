@@ -68,7 +68,7 @@ def _load_codec(args, kind: str):
         from ..codec import UniformCABACCompressor
         return UniformCABACCompressor.create(
             enc_cfg, gen_cfg, seed=args.seed, precision=precision,
-            quantization_bits=_scalar_bits(args))
+            quantization_bits=_scalar_bits(args) or 8)
     if kind == "cabac":
         from ..codec.cabac_compressor import CABACCompressor
         return CABACCompressor.create(enc_cfg, gen_cfg, seed=args.seed,
@@ -80,10 +80,14 @@ def _load_codec(args, kind: str):
                                    precision=precision)
 
 
-def _scalar_bits(args) -> int:
+def _scalar_bits(args):
     """--bits for the entropy-coded uniform codec (scalar only: per-layer
-    allocations would need per-layer symbol alphabets)."""
-    bits = _parse_bits(getattr(args, "bits", "8"))
+    allocations would need per-layer symbol alphabets).  Returns None when
+    --bits was not given, so bundle-stored settings can win."""
+    spec = getattr(args, "bits", None)
+    if spec is None:
+        return None
+    bits = _parse_bits(spec)
     if not isinstance(bits, int):
         raise SystemExit(
             "--method uniform-cabac needs a scalar --bits (per-layer "
@@ -91,7 +95,7 @@ def _scalar_bits(args) -> int:
     return bits
 
 
-def _reconcile_kind(codec, kind: str, precision, bits: int = 8):
+def _reconcile_kind(codec, kind: str, precision, bits=None):
     """Make a loaded bundle match the requested method.
 
     A Gumbel/CABAC bundle used with method=uniform (or vice versa) must not
@@ -109,10 +113,21 @@ def _reconcile_kind(codec, kind: str, precision, bits: int = 8):
             "cabac": CABACCompressor,
             "uniform-cabac": UniformCABACCompressor}[kind]
     if type(codec) is want:
+        if (want is UniformCABACCompressor and bits is not None
+                and codec.quantization_bits != bits):
+            # the bundle's stored bit depth would silently win over --bits:
+            # rebuild at the requested rate instead (weights are shared)
+            print(f"note: bundle stores quantization_bits="
+                  f"{codec.quantization_bits}; rebuilding codec at the "
+                  f"requested --bits {bits}", flush=True)
+            return want(codec.encoder_cfg, codec.generator_cfg,
+                        codec.encoder_vars, codec.generator_vars,
+                        training_resolution=codec.training_resolution,
+                        precision=precision, quantization_bits=bits)
         return codec
     if want in (Compressor, UniformCABACCompressor):
         # any codec carries encoder+generator weights; drop the discretizer
-        kw = ({"quantization_bits": bits}
+        kw = ({"quantization_bits": bits or 8}
               if want is UniformCABACCompressor else {})
         return want(codec.encoder_cfg, codec.generator_cfg,
                     codec.encoder_vars, codec.generator_vars,
@@ -222,7 +237,7 @@ def cmd_compress(args):
             x, args.output, refine_steps=args.refine_steps)
     else:
         orig, comp, ratio = codec.save_compressed(
-            x, args.output, quantization_bits=_parse_bits(args.bits),
+            x, args.output, quantization_bits=_parse_bits(args.bits or "8"),
             refine_steps=args.refine_steps)
     dt = time.time() - t0
     print(f"compressed {args.image} -> {args.output}")
@@ -556,9 +571,12 @@ def main(argv=None):
                    help="encode-time inversion refinement steps on W+ "
                         "(all methods; slower encode, better quality at "
                         "the same rate)")
-    p.add_argument("--bits", type=str, default="8",
-                   help="bit depth, or a comma list for per-W-layer "
-                        "allocation (e.g. 12,12,10,10,8,8,8,8,6,6,6,6,4,4,4,4)")
+    p.add_argument("--bits", type=str, default=None,
+                   help="bit depth (default 8), or a comma list for "
+                        "per-W-layer allocation (e.g. 12,12,10,10,8,8,8,8,"
+                        "6,6,6,6,4,4,4,4); for --method uniform-cabac with "
+                        "a --bundle, the bundle's stored depth wins unless "
+                        "--bits is given explicitly")
     p.add_argument("--no-cabac", action="store_true")
     p.set_defaults(fn=cmd_compress)
 
@@ -570,10 +588,11 @@ def main(argv=None):
                    choices=["auto", "uniform", "gumbel", "cabac",
                             "uniform-cabac"],
                    default="auto")
-    p.add_argument("--bits", type=str, default="8",
+    p.add_argument("--bits", type=str, default=None,
                    help="bit depth for --method uniform-cabac (must match "
                         "the encode setting; the stream's latents tag is "
-                        "verified at decode)")
+                        "verified at decode; defaults to the bundle's "
+                        "stored depth, else 8)")
     p.set_defaults(fn=cmd_decompress)
 
     p = sub.add_parser("compare", help="compare vs PNG/JPEG/WebP")

@@ -193,7 +193,10 @@ class Compressor:
         if n_data > 1 and x.shape[0] % n_data == 0:
             from ..parallel.mesh import shard_batch
 
-            return shard_batch(np.asarray(x), self.mesh)
+            # pass x through as-is: shard_batch device_puts, which reshards
+            # device-committed arrays device-to-device (an np.asarray here
+            # would force a device->host->device roundtrip per codec call)
+            return shard_batch(x, self.mesh)
         return x
 
     def _next_sample_key(self) -> jax.Array:

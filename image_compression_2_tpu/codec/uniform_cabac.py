@@ -7,8 +7,13 @@ discretization module in its constructor), so its uniform-quantized codec
 indices.  But uniform level indices of W+ are far from uniformly distributed
 per position, so the same context-adaptive coder + trained per-position
 priors that compress Gumbel codes compress them too — strictly better rate
-at IDENTICAL distortion (the decoded indices are bit-exact, reconstruction
-is unchanged), no stage-2 training required.
+at IDENTICAL distortion for latents inside [-1, 1] (the decoded indices are
+bit-exact), no stage-2 training required.  One edge divergence from the
+float uniform rows: index coding clamps out-of-range latents to [-1, 1]
+(quantize_to_indices must produce valid alphabet symbols), while the float
+path's quantize_uniform follows the reference in NOT clipping
+(stylegan3_hvae_full.py:295-318) — a latent outside [-1, 1] therefore
+reconstructs to the nearest grid edge here vs an off-grid value there.
 """
 
 from __future__ import annotations
@@ -31,8 +36,12 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
 
     def __init__(self, *args, quantization_bits: int = 8, **kwargs):
         bits = int(quantization_bits)
-        if not 1 <= bits <= 16:
-            raise ValueError(f"quantization_bits must be in [1, 16]: {bits}")
+        # 15-bit cap: the range coder's adaptive model requires
+        # total frequency < 2^16 (coding/rangecoder.py), and the prior tables
+        # add PRIOR_MASS on top of n_symbols — at 16 bits (65536 symbols)
+        # neither the adaptive nor the priors mode can satisfy the invariant.
+        if not 1 <= bits <= 15:
+            raise ValueError(f"quantization_bits must be in [1, 15]: {bits}")
         super().__init__(*args, **kwargs)
         self.quantization_bits = bits
 

@@ -35,7 +35,15 @@ from .layers import EqualLinear, normalize_2nd_moment
 
 
 class MappingNetwork(nn.Module):
-    """z -> w (lr-equalized MLP) with moving-average truncation support."""
+    """z -> w (lr-equalized MLP) with moving-average truncation support.
+
+    ``c`` carries optional class-conditioning labels, matching the reference
+    surface ``G.mapping(z, c, ...)`` (stylegan3_hvae_full.py:557 — always
+    called with ``c=None`` for FFHQ): when ``cfg.c_dim > 0`` the labels are
+    embedded, 2nd-moment-normalized, and concatenated to the normalized z
+    before the MLP (the StyleGAN3 conditional recipe).  ``c`` is
+    keyword-only-by-position here (after the truncation args) so existing
+    positional callers keep working."""
 
     cfg: GeneratorConfig
 
@@ -46,10 +54,21 @@ class MappingNetwork(nn.Module):
         truncation_psi: float = 1.0,
         truncation_cutoff: Optional[int] = None,
         update_w_avg: bool = False,
+        c: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         assert z.shape[-1] == cfg.z_dim
         x = normalize_2nd_moment(z.astype(jnp.float32))
+        if cfg.c_dim:
+            if c is None:
+                raise ValueError(
+                    f"c_dim={cfg.c_dim}: mapping requires class labels c")
+            y = EqualLinear(cfg.w_dim, name="embed")(
+                c.astype(jnp.float32))
+            x = jnp.concatenate([x, normalize_2nd_moment(y)], axis=-1)
+        elif c is not None:
+            raise ValueError("class labels given but cfg.c_dim == 0 "
+                             "(unconditional model)")
         for i in range(cfg.mapping_layers):
             x = EqualLinear(
                 cfg.w_dim,
@@ -302,8 +321,9 @@ class Generator(nn.Module):
         z: jnp.ndarray,
         truncation_psi: float = 1.0,
         truncation_cutoff: Optional[int] = None,
+        c: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        ws = self.mapping_net(z, truncation_psi, truncation_cutoff)
+        ws = self.mapping_net(z, truncation_psi, truncation_cutoff, c=c)
         return self.synthesis_net(ws)
 
     def mapping(
@@ -312,9 +332,10 @@ class Generator(nn.Module):
         truncation_psi: float = 1.0,
         truncation_cutoff: Optional[int] = None,
         update_w_avg: bool = False,
+        c: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         return self.mapping_net(z, truncation_psi, truncation_cutoff,
-                                update_w_avg)
+                                update_w_avg, c=c)
 
     def synthesis(self, ws: jnp.ndarray) -> jnp.ndarray:
         return self.synthesis_net(ws)

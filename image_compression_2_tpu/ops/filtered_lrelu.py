@@ -22,6 +22,20 @@ from .bias_act import bias_act
 from .upfirdn2d import upfirdn2d, Padding, _parse_padding
 from .upfirdn_matmul import upfirdn2d_mm
 
+_PALLAS_MODES = ("mmfuse", "mmfuse2", "mmfuse3", "tiled")
+
+
+def _tp_mesh_active() -> bool:
+    """True when the ambient mesh (``with mesh:``) has a model axis > 1 —
+    i.e. activations may be channel-sharded for tensor parallelism."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        return (not m.empty) and int(dict(m.shape).get("model", 1)) > 1
+    except Exception:
+        return False
+
 
 def filtered_lrelu(
     x: jnp.ndarray,
@@ -77,6 +91,13 @@ def filtered_lrelu(
             x.shape[0], x.shape[1], x.shape[2], x.shape[3],
             up, down, tu, td, (px0, px1, py0, py1)))
         if measured is not None:
+            if measured in _PALLAS_MODES and _tp_mesh_active():
+                # Pallas kernels carry no partitioning rule: with a model
+                # axis active the activations are channel-sharded, and XLA
+                # would have to all-gather around (or reject) the
+                # pallas_call.  The banded-matmul path propagates shardings
+                # natively, so tensor-parallel runs stay on it.
+                measured = "matmul"
             mode = measured
     if mode == "mmfuse":
         if not (separable and (up > 1 or down > 1)):

@@ -142,3 +142,39 @@ def test_w_avg_ema_update(tiny_gen):
     batch_mean = np.asarray(ws[:, 0, :]).mean(axis=0)
     want = (1 - cfg.w_avg_beta) * batch_mean  # old buffer was zeros
     np.testing.assert_allclose(new_avg, want, rtol=1e-5, atol=1e-6)
+
+
+def test_class_conditional_mapping():
+    """cfg.c_dim > 0 embeds + concatenates labels before the mapping MLP
+    (reference surface G.mapping(z, c, ...), stylegan3_hvae_full.py:557;
+    always c=None for FFHQ — the conditional path is config-gated here)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        GeneratorConfig.tiny(img_resolution=16, num_layers=4, margin_size=1),
+        c_dim=10)
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), [2, cfg.z_dim])
+    c = jax.nn.one_hot(jnp.asarray([3, 7]), cfg.c_dim)
+    variables = jax.jit(
+        lambda k, z, c: model.init(k, z, c=c)
+    )(jax.random.PRNGKey(1), z, c)
+    assert "embed" in variables["params"]["mapping"]
+    ws = model.apply(variables, z, c=c, method="mapping")
+    assert ws.shape == (2, cfg.num_ws, cfg.w_dim)
+    # labels matter: a different class gives different styles
+    ws2 = model.apply(
+        variables, z, c=jax.nn.one_hot(jnp.asarray([4, 7]), cfg.c_dim),
+        method="mapping")
+    assert float(jnp.abs(ws - ws2)[0].max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(ws[1]), np.asarray(ws2[1]),
+                               atol=1e-6)
+    # missing labels on a conditional model is a hard error
+    with pytest.raises(ValueError):
+        model.apply(variables, z, method="mapping")
+    # and labels on an unconditional model too
+    uncond = Generator(GeneratorConfig.tiny(img_resolution=16, num_layers=4,
+                                            margin_size=1))
+    uv = jax.jit(uncond.init)(jax.random.PRNGKey(0), z)
+    with pytest.raises(ValueError):
+        uncond.apply(uv, z, c=c, method="mapping")

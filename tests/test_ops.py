@@ -170,3 +170,29 @@ def test_modulated_conv2d_matches_grouped_form(demodulate, padding):
     )
     want = _modulated_conv_naive(x, w, s, demodulate, padding, input_gain=gain)
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_auto_mode_avoids_pallas_under_tensor_parallel_mesh(monkeypatch):
+    """With a model-axis mesh active, 'auto' must not select a Pallas mode
+    (no partitioning rule for pallas_call: XLA would all-gather the channel-
+    sharded activations around it or reject it) — it degrades to the banded
+    matmul path, which propagates shardings natively."""
+    import jax
+    from jax.sharding import Mesh
+
+    import image_compression_2_tpu.ops.flrelu_policy as pol
+    from image_compression_2_tpu.ops import filtered_lrelu
+    from image_compression_2_tpu.ops.filtered_lrelu import _tp_mesh_active
+
+    monkeypatch.setattr(pol, "lookup", lambda *a, **k: "mmfuse2")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 8), jnp.float32)
+    fu = np.ones(4, np.float32) / 4
+
+    assert not _tp_mesh_active()
+    want = filtered_lrelu(x, fu, fu, up=2, down=2, padding=2, mode="matmul")
+    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    with Mesh(devs, ("data", "model")):
+        assert _tp_mesh_active()
+        got = filtered_lrelu(x, fu, fu, up=2, down=2, padding=2, mode="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
