@@ -296,11 +296,17 @@ class SynthesisNetwork(nn.Module):
         cfg = self.cfg
         assert ws.shape[1:] == (cfg.num_ws, cfg.w_dim), ws.shape
         ws = ws.astype(jnp.float32)
-        x = SynthesisInput(cfg, name="input")(ws[:, 0])
+        # spatial sharding (no-op without a 'space' mesh axis): constrain the
+        # H axis at every layer boundary; XLA propagates through the layer
+        # internals and inserts the collectives (parallel/sp.py)
+        from ..parallel.sp import shard_spatial
+
+        x = shard_spatial(SynthesisInput(cfg, name="input")(ws[:, 0]))
         for i, spec in enumerate(cfg.layer_specs):
             x = SynthesisLayer(spec, cfg, self.precision, name=spec.name)(
                 x, ws[:, i + 1]
             )
+            x = shard_spatial(x)
         if cfg.output_scale != 1.0:
             x = x * cfg.output_scale
         return x.astype(jnp.float32)

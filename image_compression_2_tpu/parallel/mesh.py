@@ -21,13 +21,23 @@ def create_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_space: int = 1,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh over the available devices."""
+    """Create a ('data', 'model'[, 'space']) mesh over the available devices.
+
+    ``space`` is the activation/spatial axis (parallel/sp.py): generator
+    activations shard their H dimension over it, for the batch<=2 serving
+    regime where the data axis starves.  The axis is appended only when
+    n_space > 1 so existing 2-D mesh users are unaffected."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_space)
+    n_total = n_data * n_model * n_space
+    assert n_total <= len(devices), (n_data, n_model, n_space, len(devices))
+    if n_space > 1:
+        grid = np.asarray(devices[:n_total]).reshape(n_data, n_model, n_space)
+        return Mesh(grid, ("data", "model", "space"))
+    grid = np.asarray(devices[:n_total]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 
