@@ -62,7 +62,10 @@ def filtered_lrelu(
     'matmul' (banded-operator MXU matmuls — ~10x faster than conv on the
     hot 256² layers but quadratic in plane size), 'sandwich' (matmul with
     the down stage contracting W before H — avoids a relayout of the
-    oversampled intermediate; measured win on up-4 layers), 'mmfuse' (matmul H
+    oversampled intermediate; measured win on up-4 layers), 'blocked'
+    (block-banded matmuls: 128-row output tiles contract only their band
+    window — 3-6x fewer MACs on large planes; ``upfirdn_blocked``), 'mmfuse'
+    (matmul H
     passes around ONE Pallas kernel fusing W-up → lrelu → W-down, so the
     2x-oversampled intermediate never round-trips HBM;
     ``pallas_flrelu_wfuse``), 'mmfuse2' (the transpose-free variant of
@@ -168,21 +171,31 @@ def filtered_lrelu(
         if not auto:
             raise ValueError("no legal tiling for this geometry")
         mode = "matmul"  # stale policy entry: degrade, don't crash
-    use_mm = mode in ("matmul", "sandwich") or (
+    use_mm = mode in ("matmul", "sandwich", "blocked") or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )
-    if mode == "sandwich" and not separable:
-        raise ValueError("mode='sandwich' requires separable 1-D filters")
+    if mode in ("sandwich", "blocked") and not separable:
+        raise ValueError(f"mode={mode!r} requires separable 1-D filters")
     if use_mm:
         import functools
 
-        up_op = functools.partial(upfirdn2d_mm, fp32_mxu=fp32_mxu)
-        # sandwich: the down stage contracts W first — its input is the 2x
-        # oversampled intermediate whose layout XLA just wrote, and the
-        # W-first order avoids a relayout there (measured win on up-4
-        # layers, tools/bench_fir_variants.py).
-        down_op = (functools.partial(up_op, order="wh")
-                   if mode == "sandwich" else up_op)
+        if mode == "blocked":
+            # block-banded MXU products: each 128-row output tile contracts
+            # only its band window — 3-6x fewer MACs on large planes, pure
+            # XLA (upfirdn_blocked).  Down stage keeps the sandwich W-first
+            # order (same relayout argument as below).
+            from .upfirdn_blocked import upfirdn2d_mm_blocked
+
+            up_op = functools.partial(upfirdn2d_mm_blocked, fp32_mxu=fp32_mxu)
+            down_op = functools.partial(up_op, order="wh")
+        else:
+            up_op = functools.partial(upfirdn2d_mm, fp32_mxu=fp32_mxu)
+            # sandwich: the down stage contracts W first — its input is the
+            # 2x oversampled intermediate whose layout XLA just wrote, and
+            # the W-first order avoids a relayout there (measured win on
+            # up-4 layers, tools/bench_fir_variants.py).
+            down_op = (functools.partial(up_op, order="wh")
+                       if mode == "sandwich" else up_op)
     else:
         up_op = down_op = upfirdn2d
     x = bias_act(x, b)
