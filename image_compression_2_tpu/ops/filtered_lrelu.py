@@ -6,9 +6,10 @@ of the layer's output sampling rate.  This is the op the reference's frozen
 generator spends most of its FLOPs around (inside ``G.synthesis``,
 ``/root/reference/stylegan3_hvae_full.py:274``).
 
-The lax composition below is the semantics-defining reference implementation;
-``image_compression_2_tpu.ops.pallas`` provides a fused TPU kernel for the hot
-configurations, validated against this function.
+The conv composition below is the semantics-defining reference
+implementation; the banded-matmul family (``upfirdn_matmul``,
+``upfirdn_blocked``) and the fused Pallas kernels (``pallas_flrelu_wfuse2``,
+``pallas_flrelu_wfuse3``) are the production paths, validated against it.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from .bias_act import bias_act
 from .upfirdn2d import upfirdn2d, Padding, _parse_padding
 from .upfirdn_matmul import upfirdn2d_mm
 
-_PALLAS_MODES = ("mmfuse", "mmfuse2", "mmfuse3", "tiled")
+_PALLAS_MODES = ("mmfuse2", "mmfuse3")
 
 
 def _tp_mesh_active() -> bool:
@@ -64,22 +65,29 @@ def filtered_lrelu(
     the down stage contracting W before H — avoids a relayout of the
     oversampled intermediate; measured win on up-4 layers), 'blocked'
     (block-banded matmuls: 128-row output tiles contract only their band
-    window — 3-6x fewer MACs on large planes; ``upfirdn_blocked``), 'mmfuse'
-    (matmul H
-    passes around ONE Pallas kernel fusing W-up → lrelu → W-down, so the
-    2x-oversampled intermediate never round-trips HBM;
-    ``pallas_flrelu_wfuse``), 'mmfuse2' (the transpose-free variant of
-    mmfuse: native-layout MXU contractions, NHWC in, channels-before-width
-    out, restored by the closing H-down einsum; ``pallas_flrelu_wfuse2``),
-    'mmfuse3' (channels-middle layout end-to-end: the H-up einsum emits
-    [B,H2,C,W], both kernel contractions are classic matmuls, and the
-    backward fuses completely; ``pallas_flrelu_wfuse3``),
-    'tiled' (the fused H-tiled Pallas kernel,
-    ``pallas_flrelu_tiled`` — one HBM read + one write per plane instead
-    of four roundtrips), or 'auto' (the measured per-geometry winner from
-    ``flrelu_policy.json``; matmul for unbenchmarked separable-resampling
-    geometries).
+    window — 3-6x fewer MACs on large planes; ``upfirdn_blocked``),
+    'mmfuse2' (matmul H passes around ONE Pallas kernel fusing
+    W-up → lrelu → W-down so the 2x-oversampled intermediate never
+    round-trips HBM; native-layout MXU contractions, NHWC in,
+    channels-before-width out, restored by the closing H-down einsum;
+    ``pallas_flrelu_wfuse2``), 'mmfuse3' (channels-middle layout
+    end-to-end: the H-up einsum emits [B,H2,C,W], both kernel contractions
+    are classic matmuls, and the backward fuses completely;
+    ``pallas_flrelu_wfuse3``), or 'auto' (the measured per-geometry winner
+    from ``flrelu_policy.json`` — the fwd+bwd winner table when a trainer
+    has set ``flrelu_policy.set_train(True)``; matmul for unbenchmarked
+    separable-resampling geometries).
+
+    Two earlier Pallas formulations — a fully-fused H-tiled kernel ('tiled')
+    and a transpose-based W-fusion ('mmfuse') — were measured slower than
+    the banded-matmul family on every production geometry and removed in
+    round 4 (PARITY §2.7 records the numbers; git history has the kernels).
     """
+    if mode not in ("auto", "conv", "matmul", "sandwich", "blocked",
+                    "mmfuse2", "mmfuse3"):
+        # an unknown (or removed: 'tiled'/'mmfuse') mode must not silently
+        # run a different path — it would mislabel benchmark/policy timings
+        raise ValueError(f"unknown filtered_lrelu mode {mode!r}")
     px0, px1, py0, py1 = _parse_padding(padding)
     separable = (fu is None or np.ndim(fu) == 1) and (
         fd is None or np.ndim(fd) == 1
@@ -102,22 +110,6 @@ def filtered_lrelu(
                 # natively, so tensor-parallel runs stay on it.
                 measured = "matmul"
             mode = measured
-    if mode == "mmfuse":
-        if not (separable and (up > 1 or down > 1)):
-            raise ValueError(
-                "mode='mmfuse' requires separable 1-D filters and up/down > 1")
-        from .pallas_flrelu_wfuse import filtered_lrelu_wfuse, fits_wfuse
-
-        B, H, W, C = x.shape
-        if fits_wfuse(B, H, W, C, up, down, tu, td,
-                      (px0, px1, py0, py1), dtype=x.dtype):
-            return filtered_lrelu_wfuse(
-                x, fu, fd, b, up=up, down=down, padding=padding,
-                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
-            )
-        if not auto:
-            raise ValueError("no legal wfuse block for this geometry")
-        mode = "matmul"  # stale policy entry: degrade, don't crash
     if mode == "mmfuse2":
         if not (separable and (up > 1 or down > 1)):
             raise ValueError(
@@ -149,27 +141,6 @@ def filtered_lrelu(
             )
         if not auto:
             raise ValueError("no legal wfuse3 block for this geometry")
-        mode = "matmul"  # stale policy entry: degrade, don't crash
-    if mode == "tiled":
-        if not (separable and (up > 1 or down > 1)):
-            # the tiled kernel is defined only for separable resampling —
-            # an explicit request must not silently run a different path
-            # (it would also mislabel benchmark/policy timings)
-            raise ValueError(
-                "mode='tiled' requires separable 1-D filters and up/down > 1")
-        from .pallas_flrelu_tiled import (
-            filtered_lrelu_pallas_tiled,
-            fits_tiled,
-        )
-
-        B, H, W, C = x.shape
-        if fits_tiled(H, W, C, up, down, tu, td, padding, dtype=x.dtype):
-            return filtered_lrelu_pallas_tiled(
-                x, fu, fd, b, up=up, down=down, padding=padding,
-                gain=gain, slope=slope, clamp=clamp,
-            )
-        if not auto:
-            raise ValueError("no legal tiling for this geometry")
         mode = "matmul"  # stale policy entry: degrade, don't crash
     use_mm = mode in ("matmul", "sandwich", "blocked") or (
         mode == "auto" and separable and (up > 1 or down > 1)

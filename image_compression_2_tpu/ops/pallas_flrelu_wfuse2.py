@@ -1,9 +1,10 @@
 """Transpose-free middle-fused filtered-lrelu (mode='mmfuse2').
 
-``pallas_flrelu_wfuse`` (v1) fuses W-up → lrelu → W-down in one kernel but
-pays two in-VMEM ``swapaxes`` per block to put the W axis where its dots
-want it — Mosaic lowers those to sublane shifts that cost more than the
-fused HBM roundtrip saves (measured 86 ms vs 62 ms matmul at 256²b8).
+The v1 W-fusion (``pallas_flrelu_wfuse``, removed in round 4 — see git
+history / PARITY §2.7) fused W-up → lrelu → W-down in one kernel but paid
+two in-VMEM ``swapaxes`` per block to put the W axis where its dots wanted
+it — Mosaic lowers those to sublane shifts that cost more than the fused
+HBM roundtrip saves (measured 86 ms vs 62 ms matmul at 256²b8).
 
 v2 removes every in-kernel relayout by picking contraction dimensions the
 MXU supports natively on the block's existing NHWC layout:

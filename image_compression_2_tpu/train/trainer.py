@@ -353,6 +353,11 @@ def train_hvae_encoder(
     of synthetic training samples (reference analogue:
     simple_stylegan_encoder.py:248).  ``pool_grids``/``hidden_dims`` select
     the spatially-aware projector heads (EncoderConfig docs)."""
+    from ..ops import flrelu_policy
+
+    # every filtered_lrelu traced by this process is on the training path:
+    # pick the measured fwd+bwd winners, not the forward-only ones
+    flrelu_policy.set_train(True)
     generator_cfg = generator_cfg or GeneratorConfig()
     resume_from = resolve_resume_checkpoint(resume_from)
     arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}
@@ -451,6 +456,9 @@ def train_gumbel_hvae(
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
+    from ..ops import flrelu_policy
+
+    flrelu_policy.set_train(True)  # fwd+bwd winner table (see stage-1 note)
     generator_cfg = generator_cfg or GeneratorConfig()
     resume_from = resolve_resume_checkpoint(resume_from)
     arch = _arch_from_ckpt(resume_from) if encoder_cfg is None else {}

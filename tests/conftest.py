@@ -31,3 +31,17 @@ assert jax.device_count() == 8, jax.devices()
 from image_compression_2_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()  # measured: big suite speedup on repeat runs
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_flrelu_train_flag():
+    """Trainers flip flrelu_policy into fwd+bwd-winner lookup for their whole
+    process (the honest granularity for trace-time mode selection); tests
+    must not leak that flag into each other."""
+    yield
+    from image_compression_2_tpu.ops import flrelu_policy
+
+    flrelu_policy.set_train(False)

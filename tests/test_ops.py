@@ -196,3 +196,50 @@ def test_auto_mode_avoids_pallas_under_tensor_parallel_mesh(monkeypatch):
         got = filtered_lrelu(x, fu, fu, up=2, down=2, padding=2, mode="auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_policy_grad_lookup_and_fallback():
+    """The training path (set_train / grad=True) consults the fwd+bwd winner
+    table; geometries never measured under grad degrade a non-matmul/sandwich
+    forward winner to sandwich (the measured stack-total grad winner)."""
+    import image_compression_2_tpu.ops.flrelu_policy as pol
+
+    fwd = {"b8:38x38x512:u2d2:t12,12:p9,8,9,8": "conv",
+           "b8:54x54x512:u2d2:t12,12:p9,8,9,8": "matmul"}
+    grad = {"b8:38x38x512:u2d2:t12,12:p9,8,9,8": "mmfuse3"}
+    orig = pol._policy
+    pol._policy = {"winners": fwd, "winners_grad": grad}
+    try:
+        args = (8, 38, 38, 512, 2, 2, 12, 12, (9, 8, 9, 8))
+        assert pol.lookup(*args) == "conv"
+        assert pol.lookup(*args, grad=True) == "mmfuse3"
+        # nearest-batch fallback applies inside the grad table too
+        assert pol.lookup(4, *args[1:], grad=True) == "mmfuse3"
+        # measured fwd, unmeasured grad: matmul/sandwich pass through...
+        args2 = (8, 54, 54, 512, 2, 2, 12, 12, (9, 8, 9, 8))
+        assert pol.lookup(*args2, grad=True) == "matmul"
+        # ...but conv/blocked/Pallas degrade to sandwich
+        pol._policy["winners"][pol.geometry_key(*args2)] = "blocked"
+        assert pol.lookup(*args2, grad=True) == "sandwich"
+        # the module flag routes default lookups
+        pol.set_train(True)
+        assert pol.lookup(*args) == "mmfuse3"
+        pol.set_train(False)
+        assert pol.lookup(*args) == "conv"
+        # never measured at all -> None either way
+        assert pol.lookup(8, 999, 999, 3, 2, 2, 12, 12, (0, 0, 0, 0),
+                          grad=True) is None
+    finally:
+        pol._policy = orig
+
+
+def test_shipped_policy_has_grad_winners():
+    """The shipped policy JSON carries the measured fwd+bwd table for the
+    256²/b8 training config (runs/r3_grad_timing.txt)."""
+    import json
+    import image_compression_2_tpu.ops.flrelu_policy as pol
+
+    doc = json.load(open(pol._POLICY_FILE))
+    assert len(doc.get("winners_grad", {})) >= 10
+    assert all(v in ("matmul", "sandwich", "blocked", "conv",
+                     "mmfuse2", "mmfuse3") for v in doc["winners_grad"].values())

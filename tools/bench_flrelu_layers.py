@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Per-layer filtered-lrelu timing on the real TPU: conv vs matmul vs tiled.
+"""Per-layer filtered-lrelu timing on the real TPU across the mode family
+(conv / matmul / sandwich / blocked / mmfuse2 / mmfuse3).
 
 Dispatches N iterations and fetches once (the axon relay acknowledges
 block_until_ready before completion; only a host fetch truly syncs).
@@ -27,8 +28,6 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
     from image_compression_2_tpu.core import GeneratorConfig
     from image_compression_2_tpu.ops import design_lowpass_filter, filtered_lrelu
     from image_compression_2_tpu.ops.flrelu_policy import geometry_key
-    from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
-    from image_compression_2_tpu.ops.pallas_flrelu_wfuse import fits_wfuse
     from image_compression_2_tpu.ops.pallas_flrelu_wfuse2 import fits_wfuse2
     from image_compression_2_tpu.ops.pallas_flrelu_wfuse3 import fits_wfuse3
     from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
@@ -61,22 +60,6 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
         times = {}
         ref_out = None
         for m in modes:
-            if m == "tiled" and (
-                np.ndim(fu) > 1 or np.ndim(fd) > 1  # radial = non-separable
-                or plan_tiled(
-                    H, H, C, spec.up_factor, spec.down_factor,
-                    spec.up_taps, spec.down_taps, spec.padding) is None
-            ):
-                row += f" {'n/a':>10s}"
-                continue
-            if m == "mmfuse" and (
-                np.ndim(fu) > 1 or np.ndim(fd) > 1
-                or not fits_wfuse(
-                    batch, H, H, C, spec.up_factor, spec.down_factor,
-                    spec.up_taps, spec.down_taps, spec.padding, dtype=dtype)
-            ):
-                row += f" {'n/a':>10s}"
-                continue
             if m == "mmfuse2" and (
                 np.ndim(fu) > 1 or np.ndim(fd) > 1
                 or not fits_wfuse2(
@@ -181,11 +164,12 @@ def main():
                     default="matmul,sandwich,blocked,mmfuse2,mmfuse3,conv")
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (jax.grad of a scalar loss) instead "
-                         "of the forward — the training path's cost; "
-                         "informational only (never writes the policy)")
+                         "of the forward — the training path's cost; with "
+                         "--emit-policy, writes the winners_grad table")
     ap.add_argument("--emit-policy", action="store_true",
                     help="benchmark --policy-configs, write "
-                         "ops/flrelu_policy.json")
+                         "ops/flrelu_policy.json (winners, or winners_grad "
+                         "with --grad; the other table is preserved)")
     ap.add_argument("--policy-configs", default="256:8,256:4,256:1,512:2,"
                                                 "1024:2,1024:1",
                     help="comma list of res:batch pairs for --emit-policy "
@@ -200,20 +184,32 @@ def main():
     winners, rows = {}, []
     modes = args.modes.split(",")
     if args.emit_policy:
-        if args.grad:
-            ap.error("--grad is informational only; it cannot emit a policy")
         configs = [tuple(map(int, rb.split(":")))
                    for rb in args.policy_configs.split(",")]
         for res, batch in configs:
             bench_config(res, batch, args.iters, modes, args.dtype,
-                         winners, rows)
-        from image_compression_2_tpu.ops.flrelu_policy import save_policy
+                         winners, rows, grad=args.grad)
+        import json
 
-        save_policy(winners, meta={
-            "hardware": "tpu v5e (1 chip)", "dtype": args.dtype,
-            "iters": args.iters, "rows": rows,
-        })
-        print(f"\nwrote policy with {len(winners)} geometries")
+        from image_compression_2_tpu.ops.flrelu_policy import (
+            _POLICY_FILE, save_policy)
+
+        # merge this sweep's rows into the existing meta under a lane key so
+        # the fwd and grad sweeps never clobber each other's measurements
+        try:
+            with open(_POLICY_FILE) as f:
+                meta = json.load(f).get("meta", {})
+        except (OSError, ValueError):
+            meta = {}
+        meta.update({"hardware": "tpu v5e (1 chip)", "dtype": args.dtype,
+                     "iters": args.iters})
+        meta["rows_grad" if args.grad else "rows"] = rows
+        if args.grad:
+            save_policy(None, meta, winners_grad=winners)
+        else:
+            save_policy(winners, meta)
+        lane = "winners_grad" if args.grad else "winners"
+        print(f"\nwrote {lane} with {len(winners)} geometries")
     else:
         bench_config(args.res, args.batch, args.iters, modes, args.dtype,
                      winners, rows, grad=args.grad)

@@ -2,9 +2,9 @@
 """Analytic FLOP count + MFU estimate for the codec roundtrip.
 
 Counts useful work (convs, projector matmuls) and formulation overhead
-(FIR resampling as matmuls — dense [out,in] operators on the matmul path,
-banded operators on the tiled-kernel path) separately, so MFU can be quoted
-both ways.  v5e bf16 peak defaults to 394 TFLOP/s.
+(FIR resampling as matmuls — dense [out,in] operators as actually run, and
+the nonzero-band minimum any blocked/fused variant could reach) separately,
+so MFU can be quoted both ways.  v5e bf16 peak defaults to 394 TFLOP/s.
 
 Usage: python tools/mfu.py --res 256 [--imgs-per-sec 57.1]
 """
@@ -39,10 +39,14 @@ def encoder_flops(cfg):
     return total
 
 
-def synthesis_flops(cfg, fir_mode="tiled"):
-    """Returns (conv_flops, fir_flops)."""
-    from image_compression_2_tpu.ops.pallas_flrelu_tiled import plan_tiled
+def synthesis_flops(cfg, fir_mode="band"):
+    """Returns (conv_flops, fir_flops).
 
+    fir_mode='matmul': the dense banded-operator formulation actually run
+    (every operator row contracts the full input axis).  fir_mode='band':
+    only the nonzero band of each operator — the minimum MAC count any
+    blocked/fused formulation of the same four-stage factorization can
+    reach, so (matmul - band) is the formulation-overhead FLOP budget."""
     conv_total = 0
     fir_total = 0
     for s in cfg.layer_specs:
@@ -63,20 +67,12 @@ def synthesis_flops(cfg, fir_mode="tiled"):
             fir_total += 2 * C * (H2 * H * H + W2 * H * H2
                                   + Wo * W2 * H2 + Ho * H2 * Wo)
         else:
-            plan = plan_tiled(H, H, C, s.up_factor, s.down_factor,
-                              s.up_taps, s.down_taps, s.padding)
-            if plan is None:
-                fir_total += 2 * C * (H2 * H * H + W2 * H * H2
-                                      + Wo * W2 * H2 + Ho * H2 * Wo)
-                continue
-            n = plan.n_chunks
-            Cp = plan.C_pad
-            fir_total += 2 * Cp * n * (
-                plan.h2_len * plan.hband * plan.W        # banded H-up
-                + plan.W2 * plan.W * plan.h2_len         # dense W-up
-                + plan.Wo * plan.W2 * plan.h2_len        # dense W-dn
-                + plan.ho_len * plan.h2_len * plan.Wo    # banded H-dn
-            )
+            # band widths: an up-stage output row sees ceil(taps/up) input
+            # samples (zero-stuffing), a down-stage output row sees taps
+            bu = -(-s.up_taps // s.up_factor)
+            bd = s.down_taps
+            fir_total += 2 * C * (H2 * bu * H + W2 * bu * H2
+                                  + Wo * bd * H2 + Ho * bd * Wo)
     return conv_total, fir_total
 
 
@@ -98,12 +94,12 @@ def main():
 
     enc = encoder_flops(enc_cfg)
     conv, fir_mm = synthesis_flops(gen_cfg, "matmul")
-    _, fir_tl = synthesis_flops(gen_cfg, "tiled")
+    _, fir_bd = synthesis_flops(gen_cfg, "band")
     print(f"res {args.res}²: encoder {enc/1e9:.1f} G, synthesis convs "
           f"{conv/1e9:.1f} G, FIR-matmul {fir_mm/1e9:.1f} G, "
-          f"FIR-tiled {fir_tl/1e9:.1f} G  (per image)")
+          f"FIR-band {fir_bd/1e9:.1f} G  (per image)")
     useful = enc + conv
-    for name, total in (("matmul", useful + fir_mm), ("tiled", useful + fir_tl)):
+    for name, total in (("matmul", useful + fir_mm), ("band", useful + fir_bd)):
         print(f"  {name} path: {total/1e9:.1f} GFLOP/image "
               f"(useful {useful/1e9:.1f} G = {100*useful/total:.0f}%)")
         if args.imgs_per_sec:
