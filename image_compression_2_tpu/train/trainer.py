@@ -187,6 +187,38 @@ def _run_training(
     state = setup.state
     key = jax.random.PRNGKey(seed + 1)
 
+    final = os.path.join(
+        output_dir, "gumbel_hvae_final.ic2t" if stage2 else
+        "hvae_encoder_final.ic2t")
+    best_path = final[: -len("final.ic2t")] + "best.ic2t"
+
+    def _sel_metric(m: Dict) -> Optional[float]:
+        # model selection targets reconstruction error (the RD tables'
+        # distortion axis), falling back to the total loss; non-finite
+        # values never compete (a NaN baseline must not pin the selection)
+        v = m.get("rec_loss", m.get("loss"))
+        if v is None or not np.isfinite(v):
+            return None
+        return float(v)
+
+    # Validation-based model selection: the shipped *_final.ic2t is the
+    # best-validation state, not the last one.  The warm-start/initial state
+    # competes too, so a fine-tune that only hurts (round-3 post-mortem:
+    # stage-2 gumbel lost 1.4 dB held-out to its own stage-1 warm start)
+    # ships its starting point instead of the damage.
+    best_val: Optional[float] = None
+    best_epoch: Optional[int] = None
+    if val_loader is not None and start_epoch < num_epochs:
+        _, val0 = _epoch_pass(setup, val_loader, state, key, mesh, train=False)
+        best_val = _sel_metric(val0)
+        if best_val is not None:
+            best_epoch = start_epoch - 1
+            save_checkpoint(best_path, state,
+                            meta={"epoch": best_epoch, "val": best_val,
+                                  "history": logger.history,
+                                  "config": config_meta})
+            print(f"Baseline (pre-training) val rec: {best_val:.5f}")
+
     for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
         state, train_m = _epoch_pass(setup, train_loader, state, key, mesh,
@@ -198,6 +230,15 @@ def _run_training(
             _, val_m = _epoch_pass(setup, val_loader, state, key, mesh,
                                    train=False)
             record.update({f"val_{k}": v for k, v in val_m.items()})
+            cur = _sel_metric(val_m)
+            if cur is not None and (best_val is None or cur < best_val):
+                best_val, best_epoch = cur, epoch
+                save_checkpoint(best_path, state,
+                                meta={"epoch": epoch, "val": best_val,
+                                      "history": logger.history,
+                                      "config": config_meta})
+            if best_val is not None:
+                record["val_best"] = best_val
 
         if stage2:
             state = apply_temperature_anneal(state, anneal_rate,
@@ -225,12 +266,17 @@ def _run_training(
                             meta={"epoch": epoch, "history": logger.history,
                                   "config": config_meta})
 
-    final = os.path.join(
-        output_dir, "gumbel_hvae_final.ic2t" if stage2 else
-        "hvae_encoder_final.ic2t")
-    save_checkpoint(final, state,
-                    meta={"epoch": num_epochs - 1, "history": logger.history,
-                          "config": config_meta})
+    if best_epoch is not None and os.path.exists(best_path):
+        import shutil
+
+        shutil.copyfile(best_path, final)
+        print(f"Final model = best-validation state (epoch {best_epoch + 1}, "
+              f"val rec {best_val:.5f}); last state remains in checkpoints/")
+    else:
+        save_checkpoint(final, state,
+                        meta={"epoch": num_epochs - 1,
+                              "history": logger.history,
+                              "config": config_meta})
     try:
         from ..utils.plotting import plot_history_svg
 

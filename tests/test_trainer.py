@@ -205,6 +205,33 @@ def test_stage1_synthetic_val_split(tmp_path):
     assert "val_rec_loss" in history
 
 
+def test_best_val_model_selection(tmp_path):
+    """With validation enabled, *_final.ic2t is the BEST-validation state
+    (warm start included as a candidate): a destructive fine-tune (lr=10)
+    must ship its starting point, not the damage."""
+    gen_cfg, enc_cfg = _cfgs()
+    out = str(tmp_path / "run_sel")
+    _, history = train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=2,
+        save_every=1, train_samples=8, val_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0, lr=10.0,
+    )
+    best = os.path.join(out, "hvae_encoder_best.ic2t")
+    final = os.path.join(out, "hvae_encoder_final.ic2t")
+    assert os.path.exists(best)
+    # final == the selected best state, byte for byte
+    assert open(final, "rb").read() == open(best, "rb").read()
+    _, meta = load_checkpoint(best)
+    # lr=10 destroys the encoder (even to NaN): the pre-training baseline
+    # must win — NaN val epochs never displace a finite best
+    assert meta["epoch"] == -1
+    assert all(meta["val"] <= v for v in history["val_rec_loss"]
+               if np.isfinite(v))
+    # the running best is monotone non-increasing and recorded per epoch
+    vb = history["val_best"]
+    assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(vb, vb[1:]))
+
+
 def test_resume_falls_back_to_newest_epoch_checkpoint(tmp_path):
     """A missing *_final.ic2t resolves to the newest epoch_*.ic2t in the
     sibling checkpoints/ dir (round-3 post-mortem: a wedge at epoch 11
