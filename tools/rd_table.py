@@ -191,7 +191,56 @@ def main():
             for i in range(0, len(x), args.chunk)
         ])
 
-    rows = {}
+    # Incremental flush: every completed row rewrites the output files, so a
+    # timeout/OOM kill mid-table keeps everything finished so far (round-3
+    # post-mortem: an all-at-the-end write lost a whole night's rows).
+    notes = {"sweep": ""}
+
+    def flush_rows():
+        header = (f"# Rate-distortion table — {res}², {args.n_eval} HELD-OUT "
+                  f"samples (seed {args.eval_seed}, psi={args.truncation})\n\n"
+                  "PSNR is mean ± 95% CI over the held-out samples.  "
+                  "LPIPS column = random-feature fallback (no pretrained VGG "
+                  "in this environment): comparable between rows, not with "
+                  "the reference's absolute LPIPS.\n\n"
+                  "| method | PSNR (dB) | MS-SSIM | LPIPS(rf) | ratio | bpp "
+                  "|\n|---|---|---|---|---|---|\n")
+        lines = [
+            f"| {name} | {m['psnr']} ± {m.get('psnr_ci95', 0)} "
+            f"| {m['ms_ssim']} | {m['lpips_rf']} | {m['ratio']}:1 "
+            f"| {m['bpp']} |"
+            for name, m in rows.items()
+        ]
+        footer = (
+            "\n\n## Reference published rows (FFHQ 256², pretrained generator"
+            " — /root/reference/README.md:376-388)\n\n"
+            "Not directly comparable: the pretrained `stylegan3-t-ffhq`"
+            " pickle cannot be downloaded in this environment, so the rows"
+            " above use a random-init generator + synthetic data (the"
+            " framework-side gap is the encoder/generator weights, not the"
+            " pipeline).\n\n"
+            "| method | PSNR (dB) | MS-SSIM | LPIPS | ratio |\n"
+            "|---|---|---|---|---|\n"
+            "| StyleGAN3-HVAE 8-bit | 34.23 | 0.972 | 0.039 | ~50:1 |\n"
+            "| StyleGAN3-HVAE 4-bit | 32.66 | 0.958 | 0.065 | ~100:1 |\n"
+            "| + Gumbel-Softmax 8-bit | 34.86 | 0.979 | 0.035 | ~50:1 |\n"
+            "| + CABAC 8-bit | 34.86 | 0.979 | 0.035 | ~80:1 |\n"
+            "| + CABAC 4-bit | 33.12 | 0.967 | 0.052 | ~150:1 |\n")
+        with open(args.out, "w") as f:
+            f.write(header + "\n".join(lines) + notes["sweep"] + footer)
+        with open(args.out.replace(".md", ".json"), "w") as f:
+            json.dump(rows, f, indent=1)
+
+    class _FlushedRows(dict):
+        def __setitem__(self, key, value):
+            super().__setitem__(key, value)
+            flush_rows()
+
+        def update(self, other):  # dict.update bypasses __setitem__
+            for k, v in other.items():
+                self[k] = v
+
+    rows = _FlushedRows()
 
     uni = Compressor(enc_cfg, gen_cfg, enc1, gen_vars, precision=precision)
 
@@ -286,7 +335,6 @@ def main():
                     rows[name] = metrics(x_eval, recon, comp)
                     print(f"{name}: {rows[name]}", flush=True)
 
-    sweep_note = ""
     if args.alloc_sweep:
         # Coarse-heavy candidates (high bits for the early W layers, per the
         # reference guide's 10-12b coarse -> 4-6b fine recipe) at several
@@ -325,12 +373,12 @@ def main():
         ]
         rows.update(sweep)
         if dominated:
-            sweep_note = (
+            notes["sweep"] = (
                 "\n\nPer-layer allocations dominating a flat row "
                 "(>= PSNR at < bpp): "
                 + "; ".join(f"{p} > {f}" for p, f in dominated) + "\n")
         else:
-            sweep_note = (
+            notes["sweep"] = (
                 "\n\nNo per-layer allocation dominates a flat row at this "
                 "operating point (distortion not yet rate-limited).\n")
 
@@ -369,12 +417,12 @@ def main():
             ]
             rows.update(rsweep)
             if rdominated:
-                sweep_note += (
+                notes["sweep"] += (
                     "\nRefined per-layer allocations dominating a refined "
                     "flat row (>= PSNR at < bpp): "
                     + "; ".join(f"{p} > {f}" for p, f in rdominated) + "\n")
             else:
-                sweep_note += ("\nNo refined per-layer allocation dominates "
+                notes["sweep"] += ("\nNo refined per-layer allocation dominates "
                                "a refined flat row.\n")
 
     if args.stage2 and os.path.exists(args.stage2):
@@ -437,38 +485,7 @@ def main():
             rows[name]["codec"] = lm["codec"]
             print(f"{name}: {rows[name]}", flush=True)
 
-    header = (f"# Rate-distortion table — {res}², {args.n_eval} HELD-OUT "
-              f"samples (seed {args.eval_seed}, psi={args.truncation})\n\n"
-              "PSNR is mean ± 95% CI over the held-out samples.  "
-              "LPIPS column = random-feature fallback (no pretrained VGG "
-              "in this environment): comparable between rows, not with the "
-              "reference's absolute LPIPS.\n\n"
-              "| method | PSNR (dB) | MS-SSIM | LPIPS(rf) | ratio | bpp |\n"
-              "|---|---|---|---|---|---|\n")
-    lines = [
-        f"| {name} | {m['psnr']} ± {m.get('psnr_ci95', 0)} | {m['ms_ssim']} "
-        f"| {m['lpips_rf']} | {m['ratio']}:1 | {m['bpp']} |"
-        for name, m in rows.items()
-    ]
-    footer = (
-        "\n\n## Reference published rows (FFHQ 256², pretrained generator —"
-        " /root/reference/README.md:376-388)\n\n"
-        "Not directly comparable: the pretrained `stylegan3-t-ffhq` pickle"
-        " cannot be downloaded in this environment, so the rows above use a"
-        " random-init generator + synthetic data (the framework-side gap is"
-        " the encoder/generator weights, not the pipeline).\n\n"
-        "| method | PSNR (dB) | MS-SSIM | LPIPS | ratio |\n"
-        "|---|---|---|---|---|\n"
-        "| StyleGAN3-HVAE 8-bit | 34.23 | 0.972 | 0.039 | ~50:1 |\n"
-        "| StyleGAN3-HVAE 4-bit | 32.66 | 0.958 | 0.065 | ~100:1 |\n"
-        "| + Gumbel-Softmax 8-bit | 34.86 | 0.979 | 0.035 | ~50:1 |\n"
-        "| + CABAC 8-bit | 34.86 | 0.979 | 0.035 | ~80:1 |\n"
-        "| + CABAC 4-bit | 33.12 | 0.967 | 0.052 | ~150:1 |\n"
-    )
-    with open(args.out, "w") as f:
-        f.write(header + "\n".join(lines) + sweep_note + footer)
-    with open(args.out.replace(".md", ".json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    flush_rows()
     print(f"wrote {args.out}")
 
 
