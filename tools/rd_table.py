@@ -268,6 +268,48 @@ def main():
     rows["per-layer-alloc"] = metrics(x_eval, recon, comp)
     print(f"per-layer-alloc: {rows['per-layer-alloc']}", flush=True)
 
+    # Stage-2 (gumbel) rows run EARLY — before the expensive refinement and
+    # CABAC-calibration work — so a timeout kill cannot lose the
+    # gumbel-vs-uniform equal-bpp comparison.  Refined gumbel rows stay at
+    # the end with the rest of the refine lane.
+    cab, cab_lm = None, {}
+    if args.stage2 and os.path.exists(args.stage2):
+        raw2, meta2 = load_checkpoint(args.stage2)
+        p2 = raw2["params"]
+        print(f"stage-2 checkpoint: epoch {meta2.get('epoch')}")
+        n_emb = meta2.get("config", {}).get("n_embeddings", args.n_embeddings)
+        cab = CABACCompressor(
+            enc_cfg, gen_cfg, {"params": p2["encoder"]}, gen_vars,
+            disc_vars={"params": p2["discretization"]}, n_embeddings=n_emb,
+            precision=precision)
+
+        def cab_rt(last_meta, **kw):
+            def fn(xc):
+                payload, meta = cab.compress_entropy(xc, use_cabac=True, **kw)
+                last_meta.update(meta)
+                return cab.decompress_entropy(payload, meta), meta["comp_size"]
+            return fn
+
+        recon, comp_raw = chunked_rt(
+            lambda xc: (cab.decompress(cab.compress(xc)),
+                        xc.shape[0] * gen_cfg.num_ws * gen_cfg.w_dim
+                        * np.log2(n_emb) / 8),
+            x_eval)
+        rows[f"gumbel-{n_emb}-raw"] = metrics(x_eval, recon, comp_raw)
+        print(f"gumbel-{n_emb}-raw: {rows[f'gumbel-{n_emb}-raw']}", flush=True)
+
+        recon, comp = chunked_rt(cab_rt(cab_lm, use_priors=False), x_eval)
+        rows["gumbel+cabac"] = metrics(x_eval, recon, comp)
+        rows["gumbel+cabac"]["codec"] = cab_lm["codec"]
+        print(f"gumbel+cabac: {rows['gumbel+cabac']}", flush=True)
+
+        cab.calibrate(x_calib)
+        recon, comp = chunked_rt(cab_rt(cab_lm, use_priors=True), x_eval)
+        rows["gumbel+cabac+priors"] = metrics(x_eval, recon, comp)
+        rows["gumbel+cabac+priors"]["codec"] = cab_lm["codec"]
+        print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}",
+              flush=True)
+
     w_ref = None
     if args.refine:
         # Encode-time inversion refinement (codec/refine.py): same container,
@@ -425,65 +467,28 @@ def main():
                 notes["sweep"] += ("\nNo refined per-layer allocation dominates "
                                "a refined flat row.\n")
 
-    if args.stage2 and os.path.exists(args.stage2):
-        raw2, meta2 = load_checkpoint(args.stage2)
-        p2 = raw2["params"]
-        print(f"stage-2 checkpoint: epoch {meta2.get('epoch')}")
-        n_emb = meta2.get("config", {}).get("n_embeddings", args.n_embeddings)
-        cab = CABACCompressor(
-            enc_cfg, gen_cfg, {"params": p2["encoder"]}, gen_vars,
-            disc_vars={"params": p2["discretization"]}, n_embeddings=n_emb,
-            precision=precision)
+    if cab is not None and args.refine:
+        # Refined latents through the SAME discrete container: the
+        # quantization-aware refinement (levels = codebook size) plus
+        # nearest-codebook projection, then CABAC.  Priors are
+        # recalibrated on refined codes — refined statistics are tighter,
+        # so an unrefined prior table under-models them.
+        name = f"gumbel+cabac+refine{args.refine}"
+        recon, comp = chunked_rt(
+            cab_rt(cab_lm, use_priors=False, refine_steps=args.refine,
+                   refine_lr=args.refine_lr), x_eval)
+        rows[name] = metrics(x_eval, recon, comp)
+        rows[name]["codec"] = cab_lm["codec"]
+        print(f"{name}: {rows[name]}", flush=True)
 
-        def cab_rt(last_meta, **kw):
-            def fn(xc):
-                payload, meta = cab.compress_entropy(xc, use_cabac=True, **kw)
-                last_meta.update(meta)
-                return cab.decompress_entropy(payload, meta), meta["comp_size"]
-            return fn
-
-        recon, comp_raw = chunked_rt(
-            lambda xc: (cab.decompress(cab.compress(xc)),
-                        xc.shape[0] * gen_cfg.num_ws * gen_cfg.w_dim
-                        * np.log2(n_emb) / 8),
-            x_eval)
-        rows[f"gumbel-{n_emb}-raw"] = metrics(x_eval, recon, comp_raw)
-        print(f"gumbel-{n_emb}-raw: {rows[f'gumbel-{n_emb}-raw']}", flush=True)
-
-        lm = {}
-        recon, comp = chunked_rt(cab_rt(lm, use_priors=False), x_eval)
-        rows["gumbel+cabac"] = metrics(x_eval, recon, comp)
-        rows["gumbel+cabac"]["codec"] = lm["codec"]
-        print(f"gumbel+cabac: {rows['gumbel+cabac']}", flush=True)
-
-        cab.calibrate(x_calib)
-        recon, comp = chunked_rt(cab_rt(lm, use_priors=True), x_eval)
-        rows["gumbel+cabac+priors"] = metrics(x_eval, recon, comp)
-        rows["gumbel+cabac+priors"]["codec"] = lm["codec"]
-        print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}", flush=True)
-
-        if args.refine:
-            # Refined latents through the SAME discrete container: the
-            # quantization-aware refinement (levels = codebook size) plus
-            # nearest-codebook projection, then CABAC.  Priors are
-            # recalibrated on refined codes — refined statistics are tighter,
-            # so an unrefined prior table under-models them.
-            name = f"gumbel+cabac+refine{args.refine}"
-            recon, comp = chunked_rt(
-                cab_rt(lm, use_priors=False, refine_steps=args.refine,
-                       refine_lr=args.refine_lr), x_eval)
-            rows[name] = metrics(x_eval, recon, comp)
-            rows[name]["codec"] = lm["codec"]
-            print(f"{name}: {rows[name]}", flush=True)
-
-            cab.calibrate(x_calib, refine_steps=args.refine)
-            name = f"gumbel+cabac+priors+refine{args.refine}"
-            recon, comp = chunked_rt(
-                cab_rt(lm, use_priors=True, refine_steps=args.refine,
-                       refine_lr=args.refine_lr), x_eval)
-            rows[name] = metrics(x_eval, recon, comp)
-            rows[name]["codec"] = lm["codec"]
-            print(f"{name}: {rows[name]}", flush=True)
+        cab.calibrate(x_calib, refine_steps=args.refine)
+        name = f"gumbel+cabac+priors+refine{args.refine}"
+        recon, comp = chunked_rt(
+            cab_rt(cab_lm, use_priors=True, refine_steps=args.refine,
+                   refine_lr=args.refine_lr), x_eval)
+        rows[name] = metrics(x_eval, recon, comp)
+        rows[name]["codec"] = cab_lm["codec"]
+        print(f"{name}: {rows[name]}", flush=True)
 
     flush_rows()
     print(f"wrote {args.out}")
