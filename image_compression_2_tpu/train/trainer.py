@@ -308,6 +308,30 @@ def _decay_steps(lr_decay: bool, num_epochs: int, train_samples: int,
     return num_epochs * max(1, n // batch_size)
 
 
+def restore_train_state(path: str, state: TrainState):
+    """Restore a full TrainState from ``path``; when the checkpoint's
+    optimizer state doesn't match the new optimizer's tree (e.g. resuming
+    across a different lr schedule — cosine-decay Adam carries a schedule
+    step count that constant-lr Adam doesn't), fall back to a params-only
+    warm start with a fresh optimizer.
+
+    Returns ``(state, meta, full_resume)``; ``full_resume`` is False on the
+    params-only fallback (callers should then train from epoch 0)."""
+    import flax.serialization
+
+    try:
+        restored, meta = load_checkpoint(path, target=state)
+        return restored, meta, True
+    except (ValueError, KeyError) as e:
+        raw, meta = load_checkpoint(path)
+        params = flax.serialization.from_state_dict(
+            state.params, raw["params"])
+        print(f"WARNING: optimizer state in {path} does not match the new "
+              f"optimizer ({e}); warm-starting from its params with a fresh "
+              f"optimizer")
+        return state.replace(params=params), meta, False
+
+
 def resolve_resume_checkpoint(resume_from: Optional[str]) -> Optional[str]:
     """Resolve a --resume path, falling back to the NEWEST epoch_*.ic2t in
     the sibling checkpoints/ directory when the named file (typically
@@ -433,10 +457,11 @@ def train_hvae_encoder(
 
     start_epoch = 0
     if resume_from is not None:
-        restored, meta = load_checkpoint(resume_from, target=setup.state)
+        restored, meta, full = restore_train_state(resume_from, setup.state)
         setup.state = restored
-        start_epoch = meta.get("epoch", -1) + 1
-        print(f"Resuming from epoch {start_epoch}")
+        if full:
+            start_epoch = meta.get("epoch", -1) + 1
+            print(f"Resuming from epoch {start_epoch}")
 
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,
@@ -547,7 +572,9 @@ def train_gumbel_hvae(
                                     training_resolution),
     )
     if resume_state is not None:
-        setup.state, _ = load_checkpoint(resume_from, target=setup.state)
+        setup.state, _, full = restore_train_state(resume_from, setup.state)
+        if not full:
+            start_epoch = 0
 
     train_ds, train_loader, val_loader = _setup_data(
         setup, dataset_path, val_dataset_path, training_resolution,

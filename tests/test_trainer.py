@@ -232,6 +232,31 @@ def test_best_val_model_selection(tmp_path):
     assert all(b2 <= b1 + 1e-9 for b1, b2 in zip(vb, vb[1:]))
 
 
+def test_resume_across_lr_schedule_warm_starts(tmp_path):
+    """Resuming a cosine-decay checkpoint into a constant-lr run (the r4
+    real-photo demo's crash: cosine Adam carries a schedule step count the
+    constant-lr optimizer tree lacks) must fall back to a params-only warm
+    start instead of raising from flax.serialization."""
+    gen_cfg, enc_cfg = _cfgs()
+    out = str(tmp_path / "decay")
+    state, _ = train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=8, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0, lr_decay=True,
+    )
+    out2 = str(tmp_path / "flat")
+    state2, history2 = train_hvae_encoder(
+        output_dir=out2, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=8, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0, lr_decay=False,
+        resume_from=os.path.join(out, "hvae_encoder_final.ic2t"),
+    )
+    # warm start: trains its own epoch 0 (not a continuation) on the
+    # checkpoint's params
+    assert len(history2["loss"]) == 1
+    assert np.isfinite(history2["loss"]).all()
+
+
 def test_resume_falls_back_to_newest_epoch_checkpoint(tmp_path):
     """A missing *_final.ic2t resolves to the newest epoch_*.ic2t in the
     sibling checkpoints/ dir (round-3 post-mortem: a wedge at epoch 11
