@@ -209,9 +209,25 @@ def _run_training(
     best_val: Optional[float] = None
     best_epoch: Optional[int] = None
     if val_loader is not None and start_epoch < num_epochs:
+        # A resumed run must not clobber the best checkpoint written before
+        # the interruption: seed the selection from the existing best file's
+        # meta and only overwrite when the fresh baseline is strictly better.
+        if os.path.exists(best_path):
+            try:
+                _, prev_meta = load_checkpoint(best_path)
+                pv = prev_meta.get("val")
+                if pv is not None and np.isfinite(pv):
+                    best_val = float(pv)
+                    best_epoch = int(prev_meta.get("epoch", start_epoch - 1))
+                    print(f"Existing best checkpoint kept as incumbent: "
+                          f"epoch {best_epoch + 1}, val rec {best_val:.5f}")
+            except Exception as e:  # unreadable best file: recompute below
+                print(f"WARNING: could not read {best_path} ({e}); "
+                      f"re-seeding selection from a fresh baseline eval")
         _, val0 = _epoch_pass(setup, val_loader, state, key, mesh, train=False)
-        best_val = _sel_metric(val0)
-        if best_val is not None:
+        v0 = _sel_metric(val0)
+        if v0 is not None and (best_val is None or v0 < best_val):
+            best_val = v0
             best_epoch = start_epoch - 1
             save_checkpoint(best_path, state,
                             meta={"epoch": best_epoch, "val": best_val,
@@ -237,8 +253,10 @@ def _run_training(
                                 meta={"epoch": epoch, "val": best_val,
                                       "history": logger.history,
                                       "config": config_meta})
-            if best_val is not None:
-                record["val_best"] = best_val
+            # always logged so history keys stay epoch-aligned (NaN until a
+            # finite best exists)
+            record["val_best"] = (best_val if best_val is not None
+                                  else float("nan"))
 
         if stage2:
             state = apply_temperature_anneal(state, anneal_rate,
@@ -267,9 +285,16 @@ def _run_training(
                                   "config": config_meta})
 
     if best_epoch is not None and os.path.exists(best_path):
-        import shutil
-
-        shutil.copyfile(best_path, final)
+        # Promote best -> final, but re-stamp the meta: the best file's meta
+        # is frozen at the best epoch (truncated history, stale epoch), so a
+        # straight copy would make a resume-from-final replay trained epochs.
+        best_raw, _ = load_checkpoint(best_path)
+        save_checkpoint(final, best_raw,
+                        meta={"epoch": num_epochs - 1,
+                              "selected_epoch": best_epoch,
+                              "val": best_val,
+                              "history": logger.history,
+                              "config": config_meta})
         print(f"Final model = best-validation state (epoch {best_epoch + 1}, "
               f"val rec {best_val:.5f}); last state remains in checkpoints/")
     else:
@@ -322,7 +347,9 @@ def restore_train_state(path: str, state: TrainState):
     try:
         restored, meta = load_checkpoint(path, target=state)
         return restored, meta, True
-    except (ValueError, KeyError) as e:
+    except (ValueError, KeyError, TypeError) as e:
+        # TypeError: flax msgpack restore on dtype/structure mismatches;
+        # ValueError/KeyError: tree-shape or missing-leaf mismatches.
         raw, meta = load_checkpoint(path)
         params = flax.serialization.from_state_dict(
             state.params, raw["params"])

@@ -3,6 +3,7 @@
 import json
 import os
 
+import chex
 import numpy as np
 import pytest
 
@@ -219,9 +220,14 @@ def test_best_val_model_selection(tmp_path):
     best = os.path.join(out, "hvae_encoder_best.ic2t")
     final = os.path.join(out, "hvae_encoder_final.ic2t")
     assert os.path.exists(best)
-    # final == the selected best state, byte for byte
-    assert open(final, "rb").read() == open(best, "rb").read()
-    _, meta = load_checkpoint(best)
+    # final carries the selected best PARAMS, but re-stamped meta (full
+    # history + selected_epoch) so a resume-from-final never replays epochs
+    best_raw, meta = load_checkpoint(best)
+    final_raw, final_meta = load_checkpoint(final)
+    chex.assert_trees_all_equal(best_raw["params"], final_raw["params"])
+    assert final_meta["epoch"] == 1  # last trained epoch (0-based)
+    assert final_meta["selected_epoch"] == -1
+    assert len(final_meta["history"]["val_rec_loss"]) == 2
     # lr=10 destroys the encoder (even to NaN): the pre-training baseline
     # must win — NaN val epochs never displace a finite best
     assert meta["epoch"] == -1
@@ -306,3 +312,35 @@ def test_missing_resume_checkpoint_is_a_hard_error(tmp_path):
             generator_cfg=gen_cfg, use_lpips=False, seed=0,
             resume_from=missing,
         )
+
+
+def test_resume_keeps_incumbent_best(tmp_path):
+    """Resuming into an output dir with an existing *_best.ic2t must NOT let
+    the pre-training baseline eval clobber it (ADVICE r4 medium): the
+    incumbent best seeds the selection and is only displaced by a strictly
+    better validation."""
+    gen_cfg, enc_cfg = _cfgs()
+    out = str(tmp_path / "run")
+    # run 1: destructive lr -> best == the pre-training baseline (epoch -1)
+    train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=1,
+        save_every=1, train_samples=8, val_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0, lr=10.0,
+    )
+    best = os.path.join(out, "hvae_encoder_best.ic2t")
+    _, meta1 = load_checkpoint(best)
+    # run 2: resume from the DAMAGED last state; its baseline eval is worse
+    # (NaN) than the incumbent, so the best file must survive untouched
+    train_hvae_encoder(
+        output_dir=out, training_resolution=RES, batch_size=4, num_epochs=2,
+        save_every=1, train_samples=8, val_samples=4, generator_cfg=gen_cfg,
+        encoder_cfg=enc_cfg, use_lpips=False, seed=0, lr=10.0,
+        resume_from=os.path.join(out, "checkpoints", "epoch_1.ic2t"),
+    )
+    _, meta2 = load_checkpoint(best)
+    assert meta2["val"] == meta1["val"]
+    assert meta2["epoch"] == meta1["epoch"]
+    # and the promoted final carries the incumbent's params
+    final_raw, final_meta = load_checkpoint(
+        os.path.join(out, "hvae_encoder_final.ic2t"))
+    assert final_meta["selected_epoch"] == meta1["epoch"]

@@ -36,7 +36,9 @@ commit_artifacts() {  # commit_artifacts <message> <path>...
 }
 
 newest_ckpt() {  # newest_ckpt <dir>  (prefers *_final.ic2t)
-  ls -t "$1"/*_final.ic2t 2>/dev/null | head -1 && return
+  local f
+  f=$(ls -t "$1"/*_final.ic2t 2>/dev/null | head -1)
+  [ -n "$f" ] && { echo "$f"; return; }
   ls -t "$1"/checkpoints/epoch_*.ic2t 2>/dev/null | head -1
 }
 
