@@ -81,18 +81,14 @@ def _load_codec(args, kind: str):
 
 
 def _scalar_bits(args):
-    """--bits for the entropy-coded uniform codec (scalar only: per-layer
-    allocations would need per-layer symbol alphabets).  Returns None when
-    --bits was not given, so bundle-stored settings can win."""
+    """--bits for the entropy-coded uniform codec: a scalar, or a
+    comma-separated per-W-layer allocation (each layer gets its own symbol
+    alphabet inside one shared coder — codec/uniform_cabac.py).  Returns
+    None when --bits was not given, so bundle-stored settings can win."""
     spec = getattr(args, "bits", None)
     if spec is None:
         return None
-    bits = _parse_bits(spec)
-    if not isinstance(bits, int):
-        raise SystemExit(
-            "--method uniform-cabac needs a scalar --bits (per-layer "
-            "allocation is the gumbel/CABAC codec's regime)")
-    return bits
+    return _parse_bits(spec)
 
 
 def _reconcile_kind(codec, kind: str, precision, bits=None):
@@ -112,13 +108,16 @@ def _reconcile_kind(codec, kind: str, precision, bits=None):
     want = {"uniform": Compressor, "gumbel": GumbelCompressor,
             "cabac": CABACCompressor,
             "uniform-cabac": UniformCABACCompressor}[kind]
+    def _norm(b):
+        return b if isinstance(b, int) else tuple(int(x) for x in b)
+
     if type(codec) is want:
         if (want is UniformCABACCompressor and bits is not None
-                and codec.quantization_bits != bits):
+                and _norm(codec._effective_bits) != _norm(bits)):
             # the bundle's stored bit depth would silently win over --bits:
             # rebuild at the requested rate instead (weights are shared)
             print(f"note: bundle stores quantization_bits="
-                  f"{codec.quantization_bits}; rebuilding codec at the "
+                  f"{codec._effective_bits}; rebuilding codec at the "
                   f"requested --bits {bits}", flush=True)
             return want(codec.encoder_cfg, codec.generator_cfg,
                         codec.encoder_vars, codec.generator_vars,
@@ -322,6 +321,11 @@ def cmd_compare(args):
         payload, meta = codec.compress_entropy(x, use_cabac=use_cabac)
         recon = codec.decompress_entropy(payload, meta)
         add_row(name, len(payload), recon)
+    if args.refine_steps:
+        payload, meta = codec.compress_entropy(
+            x, use_cabac=True, refine_steps=args.refine_steps)
+        add_row(f"hvae-cabac+refine{args.refine_steps}", meta["comp_size"],
+                codec.decompress_entropy(payload, meta))
 
     # uniform-quantization row reuses the SAME encoder/generator weights
     from ..codec import Compressor
@@ -344,6 +348,19 @@ def cmd_compare(args):
     payload, meta = ucab.compress_entropy(x)
     add_row(f"hvae-uniform-{args.bits}bit-cabac", meta["comp_size"],
             ucab.decompress_entropy(payload, meta))
+
+    if args.refine_steps:
+        # Encode-time inversion refinement (codec/refine.py): the framework's
+        # biggest distortion lever (+21 dB on held-out 256²), same decoder.
+        n = args.refine_steps
+        f = os.path.join(args.output, "uniform_refined.npz")
+        _, comp, _ = uni.save_compressed(x, f, quantization_bits=args.bits,
+                                         refine_steps=n)
+        recon, _ = uni.load_compressed(f)
+        add_row(f"hvae-uniform-{args.bits}bit+refine{n}", int(comp), recon)
+        payload, meta = ucab.compress_entropy(x, refine_steps=n)
+        add_row(f"hvae-uniform-{args.bits}bit-cabac+refine{n}",
+                meta["comp_size"], ucab.decompress_entropy(payload, meta))
 
     pix_bytes = x_np.size * 4
     print(f"\n{'method':24s} {'size':>10s} {'ratio':>8s} {'psnr':>7s} "
@@ -600,6 +617,9 @@ def main(argv=None):
     p.add_argument("--image", type=str, required=True)
     p.add_argument("--output", type=str, default="./compare_out")
     p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--refine-steps", type=int, default=0,
+                   help="adds encode-time-refined HVAE rows (gumbel+cabac, "
+                        "uniform float, uniform+cabac with affine range)")
     p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("generate", help="sample images from the generator")

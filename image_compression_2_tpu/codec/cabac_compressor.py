@@ -47,7 +47,9 @@ class EntropyCodecBase:
     Subclasses provide ``n_symbols``, ``_latents_id`` (a short string baked
     into stream metadata so a stream never silently decodes through the
     wrong latent codec), ``_latent_codes(x, refine_steps, refine_lr)`` →
-    int32 [B, T, D], and ``_reconstruct_codes(codes)`` → images.
+    (int32 [B, T, D], extra stream metadata — e.g. the per-(image, layer)
+    affine latent range refined codes need), and
+    ``_reconstruct_codes(codes, metadata)`` → images.
 
     Optional trained priors: ``calibrate(images)`` encodes a calibration
     batch on the TPU, histograms the code indices per (T, D) position (a
@@ -70,10 +72,11 @@ class EntropyCodecBase:
         raise NotImplementedError
 
     def _latent_codes(self, x, refine_steps: int = 0,
-                      refine_lr: float = 0.02) -> np.ndarray:
+                      refine_lr: float = 0.02) -> Tuple[np.ndarray, Dict]:
         raise NotImplementedError
 
-    def _reconstruct_codes(self, codes: np.ndarray) -> jnp.ndarray:
+    def _reconstruct_codes(self, codes: np.ndarray,
+                           metadata: Optional[Dict] = None) -> jnp.ndarray:
         raise NotImplementedError
 
     # ------------------------------------------------------------- priors
@@ -88,9 +91,10 @@ class EntropyCodecBase:
         all_codes = []
         n = images.shape[0]
         for i in range(0, n, batch_size):
-            all_codes.append(self._latent_codes(
+            codes, _ = self._latent_codes(
                 images[i:i + batch_size], refine_steps=refine_steps,
-                refine_lr=refine_lr))
+                refine_lr=refine_lr)
+            all_codes.append(codes)
         self.priors = build_prior(np.concatenate(all_codes), self.n_symbols)
         return self.priors
 
@@ -111,26 +115,38 @@ class EntropyCodecBase:
     ) -> Tuple[bytes, Dict]:
         """Image batch -> (payload bytes, metadata).  ``refine_steps``
         enables encode-time inversion refinement before code extraction
-        (codec/refine.py) — the entropy-coded stream and decode path are
-        unchanged."""
-        if use_priors is None:
+        (codec/refine.py); refined codes ride a per-(image, layer) affine
+        grid recorded in the metadata (``w_range``) so refinement's
+        out-of-[-1,1] latents survive entropy coding.
+
+        ``use_priors=None`` (auto) with a loaded prior table encodes BOTH
+        with the trained priors and with plain adaptive contexts and keeps
+        the smaller stream — entropy coding with a stale or mismatched prior
+        must never cost rate vs not using it (round-4 RD: 4-bit priors lost
+        to adaptive 240:1 vs 249:1)."""
+        auto_priors = use_priors is None
+        if auto_priors:
             use_priors = self.priors is not None
         elif use_priors and self.priors is None:
             raise ValueError(
                 "use_priors=True but no prior table is loaded — call "
                 "calibrate(images) or load_priors(file) first"
             )
-        codes = self._latent_codes(x, refine_steps=refine_steps,
-                                   refine_lr=refine_lr)
-        orig_size = codes.size * np.log2(self.n_symbols) / 8  # raw index B
+        codes, extra_meta = self._latent_codes(x, refine_steps=refine_steps,
+                                               refine_lr=refine_lr)
+        orig_size = self._raw_index_bits(codes) / 8  # raw index bytes
         stream_lengths = None
         if use_cabac:
-            priors = self.priors if use_priors else None
             # one INDEPENDENT stream per image (fresh contexts), coded on a
             # thread pool — batch encode scales with cores and any single
             # image can be decoded without touching the others
             payload, stream_lengths = cabac_encode_batched(
-                codes, self.n_symbols, priors)
+                codes, self.n_symbols, self.priors if use_priors else None)
+            if use_priors and auto_priors:
+                alt, alt_lengths = cabac_encode_batched(codes, self.n_symbols,
+                                                        None)
+                if len(alt) < len(payload):
+                    payload, stream_lengths, use_priors = alt, alt_lengths, False
             # Entropy coding must never expand: if the codes carry ~no mutual
             # information (e.g. an untrained encoder), fall back to packed raw.
             raw = self._pack_raw(codes)
@@ -140,7 +156,11 @@ class EntropyCodecBase:
         else:
             use_priors = False
             payload = self._pack_raw(codes)
-        comp_size = len(payload)
+        # side information (e.g. the affine latent range) counts toward the
+        # rate: it is genuine per-image data the decoder needs
+        side_info = sum(np.asarray(v).size * 4 for v in extra_meta.values()
+                        if isinstance(v, (list, np.ndarray)))
+        comp_size = len(payload) + side_info
         orig_size_pixels = int(np.prod(x.shape)) * 4
         metadata = {}
         if use_cabac and use_priors:
@@ -150,6 +170,7 @@ class EntropyCodecBase:
             metadata["priors_crc32"] = zlib.crc32(self.priors.tobytes())
         if stream_lengths is not None:
             metadata["stream_lengths"] = stream_lengths
+        metadata |= extra_meta
         metadata |= {
             # v2 = B independent per-image streams (stream_lengths in the
             # metadata); v1 was one monolithic stream — an incompatible
@@ -167,6 +188,12 @@ class EntropyCodecBase:
             "ratio_vs_pixels": float(orig_size_pixels / comp_size),
         }
         return payload, metadata
+
+    def _raw_index_bits(self, codes: np.ndarray) -> float:
+        """Raw fixed-width index bits (the reference's orig_size basis —
+        /root/reference/cabac_compression.py:474); subclasses with per-layer
+        alphabets override."""
+        return codes.size * float(np.log2(self.n_symbols))
 
     def _raw_codec_name(self) -> str:
         return "raw-u8" if self.n_symbols <= 256 else "raw-u16"
@@ -216,7 +243,11 @@ class EntropyCodecBase:
             codes = self._unpack_raw(payload, shape, metadata["codec"])
             if image_index is not None:
                 codes = codes[image_index:image_index + 1]
-        return self._reconstruct_codes(codes)
+        if image_index is not None and "w_range" in metadata:
+            metadata = dict(metadata)
+            metadata["w_range"] = np.asarray(
+                metadata["w_range"])[image_index:image_index + 1].tolist()
+        return self._reconstruct_codes(codes, metadata)
 
     # ---------------------------------------------------------- container
     def save_compressed(  # type: ignore[override]
@@ -271,10 +302,11 @@ class CABACCompressor(EntropyCodecBase, GumbelCompressor):
         return "gumbel"
 
     def _latent_codes(self, x, refine_steps: int = 0,
-                      refine_lr: float = 0.02) -> np.ndarray:
+                      refine_lr: float = 0.02) -> Tuple[np.ndarray, Dict]:
         return np.asarray(
             GumbelCompressor.compress(self, x, refine_steps=refine_steps,
-                                      refine_lr=refine_lr), np.int32)
+                                      refine_lr=refine_lr), np.int32), {}
 
-    def _reconstruct_codes(self, codes: np.ndarray) -> jnp.ndarray:
+    def _reconstruct_codes(self, codes: np.ndarray,
+                           metadata: Optional[Dict] = None) -> jnp.ndarray:
         return self.decompress(jnp.asarray(codes))

@@ -167,22 +167,28 @@ class Compressor:
         return jax.jit(rt, static_argnames=("bits",))
 
     def refine(self, w0, target, steps: int = 64, lr: float = 0.02,
-               quantization_bits: Optional[int] = None,
-               chunk: Optional[int] = 4) -> jnp.ndarray:
+               quantization_bits=None,
+               chunk: Optional[int] = 4, w_range=None) -> jnp.ndarray:
         """Encode-time inversion refinement: N jitted Adam steps on W+
         minimising MSE(synthesis(w), target), starting from ``w0`` (usually
         the encoder's means).  Same rate, lower distortion; chunked to bound
         backward-pass HBM — see ``codec/refine.py::refine_latents``.
-        ``quantization_bits`` enables straight-through quantization-aware
-        refinement on the 2**bits uniform grid."""
+        ``quantization_bits`` (scalar or per-layer sequence) enables
+        straight-through quantization-aware refinement on the 2**bits grid;
+        ``w_range = (lo, hi)`` per [B, num_ws] switches that grid to the
+        affine range the entropy-coded index path decodes on."""
         from .refine import refine_latents
 
+        if quantization_bits is None:
+            levels = None
+        elif isinstance(quantization_bits, (int, np.integer)):
+            levels = 1 << int(quantization_bits)
+        else:
+            levels = tuple(1 << int(b) for b in quantization_bits)
         return refine_latents(
             self.generator, self.generator_vars, w0, target,
-            steps=steps, lr=lr,
-            levels=None if quantization_bits is None
-            else 1 << int(quantization_bits),
-            chunk=chunk)
+            steps=steps, lr=lr, levels=levels,
+            chunk=chunk, w_range=w_range)
 
     def _place(self, x):
         """Shard a batch over the mesh's data axis when one is configured

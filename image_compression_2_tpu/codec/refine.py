@@ -30,9 +30,10 @@ def make_refiner(
     apply_fn,
     steps: int = 64,
     lr: float = 0.02,
-    levels: Optional[int] = None,
+    levels=None,
+    affine: bool = False,
 ):
-    """Build a jitted ``refine(gen_vars, w0, target) -> w`` closure.
+    """Build a jitted ``refine(gen_vars, w0, target[, lo, hi]) -> w`` closure.
 
     apply_fn(gen_vars, w) -> image must be a pure synthesis closure; the
     target is NHWC in [-1, 1].  When the synthesis resolution differs from
@@ -45,17 +46,39 @@ def make_refiner(
     decoder will actually see rather than the pre-quantization latent.
     ``levels = 2**bits`` matches ``quant.uniform.quantize_uniform``;
     ``levels = n_embeddings`` matches the Gumbel scalar codebook
-    (``quant.gumbel``) — the two quantizers share the grid.
+    (``quant.gumbel``) — the two quantizers share the grid.  ``levels`` may
+    be a per-W-layer tuple for variable bit allocations.
+
+    With ``affine=True`` the returned closure takes per-(image, layer) grid
+    bounds ``refine(gen_vars, w0, target, lo, hi)`` ([B, num_ws] each) and
+    quantizes straight-through on the affine grid spanning [lo, hi] —
+    INCLUDING the boundary clamp, so the optimisation sees exactly the
+    reconstruction the entropy-coded index path will produce
+    (quant.uniform.quantize_to_indices_affine).
 
     The loop runs fp32 on the latent regardless of the synthesis compute
     dtype — W+ is the quantity being optimised and then quantized, so it
     must not round-trip through bf16.
     """
     opt = optax.adam(lr)
+    if levels is not None and not isinstance(levels, int):
+        levels = tuple(int(x) for x in levels)
 
-    def loss_fn(w, gen_vars, target):
-        if levels is not None:
-            scale = levels - 1
+    def _scales(num_ws):
+        if isinstance(levels, int):
+            return float(levels - 1)
+        return jnp.asarray([x - 1 for x in levels], jnp.float32)[None, :, None]
+
+    def loss_fn(w, gen_vars, target, lo=None, hi=None):
+        if affine:
+            scale = _scales(w.shape[1])
+            lo = lo[:, :, None]
+            hi = hi[:, :, None]
+            w01 = jnp.clip((w - lo) / (hi - lo), 0.0, 1.0)
+            wq = lo + (jnp.round(w01 * scale) / scale) * (hi - lo)
+            w = w + jax.lax.stop_gradient(wq - w)
+        elif levels is not None:
+            scale = _scales(w.shape[1])
             wq = (jnp.round((w + 1.0) * 0.5 * scale) / scale) * 2.0 - 1.0
             w = w + jax.lax.stop_gradient(wq - w)
         img = apply_fn(gen_vars, w)
@@ -74,14 +97,17 @@ def make_refiner(
     grad_fn = jax.grad(loss_fn)
 
     @jax.jit
-    def refine(gen_vars, w0, target):
+    def refine(gen_vars, w0, target, lo=None, hi=None):
         w0 = w0.astype(jnp.float32)
+        if affine:
+            lo = jnp.asarray(lo, jnp.float32)
+            hi = jnp.asarray(hi, jnp.float32)
 
         def body(carry, _):
             w, opt_state = carry
-            updates, opt_state = opt.update(
-                grad_fn(w, gen_vars, target), opt_state, w
-            )
+            g = (grad_fn(w, gen_vars, target, lo, hi) if affine
+                 else grad_fn(w, gen_vars, target))
+            updates, opt_state = opt.update(g, opt_state, w)
             return (optax.apply_updates(w, updates), opt_state), None
 
         (w, _), _ = jax.lax.scan(body, (w0, opt.init(w0)), None, length=steps)
@@ -91,7 +117,7 @@ def make_refiner(
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_refiner(generator, steps: int, lr: float, levels: Optional[int]):
+def _cached_refiner(generator, steps: int, lr: float, levels, affine: bool):
     """One compiled refiner per (generator module, hyperparams) — flax
     modules are frozen dataclasses, so they key the cache; parameters are
     passed per call."""
@@ -99,7 +125,8 @@ def _cached_refiner(generator, steps: int, lr: float, levels: Optional[int]):
     def synthesis(gen_vars, w):
         return generator.apply(gen_vars, w, method="synthesis")
 
-    return make_refiner(synthesis, steps=steps, lr=lr, levels=levels)
+    return make_refiner(synthesis, steps=steps, lr=lr, levels=levels,
+                        affine=affine)
 
 
 def refine_latents(
@@ -109,8 +136,9 @@ def refine_latents(
     target,
     steps: int = 64,
     lr: float = 0.02,
-    levels: Optional[int] = None,
+    levels=None,
     chunk: Optional[int] = 4,
+    w_range=None,
 ) -> jnp.ndarray:
     """Shared encode-time refinement entry for every codec class.
 
@@ -121,11 +149,29 @@ def refine_latents(
     train/stage1.py:67).  The loss sums per-sample means, so chunked
     execution follows the identical Adam trajectory; chunks of equal size
     reuse one compiled program (a trailing ragged chunk compiles once more).
+
+    ``w_range = (lo, hi)`` ([B, num_ws] each) switches the straight-through
+    quantizer to the per-(image, layer) affine grid the entropy-coded index
+    path decodes on (requires ``levels``).
     """
-    fn = _cached_refiner(generator, int(steps), float(lr),
-                         None if levels is None else int(levels))
+    affine = w_range is not None
+    if isinstance(levels, int) or levels is None:
+        lv = None if levels is None else int(levels)
+    else:
+        lv = tuple(int(x) for x in levels)
+    fn = _cached_refiner(generator, int(steps), float(lr), lv, affine)
     target = jnp.asarray(target)
     n = w0.shape[0]
+    if affine:
+        assert levels is not None, "affine refinement requires levels"
+        lo = jnp.asarray(w_range[0], jnp.float32)
+        hi = jnp.asarray(w_range[1], jnp.float32)
+        if chunk is None or n <= chunk:
+            return fn(gen_vars, w0, target, lo, hi)
+        outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk],
+                   lo[i:i + chunk], hi[i:i + chunk])
+                for i in range(0, n, chunk)]
+        return jnp.concatenate(outs, axis=0)
     if chunk is None or n <= chunk:
         return fn(gen_vars, w0, target)
     outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk])

@@ -8,21 +8,41 @@ indices.  But uniform level indices of W+ are far from uniformly distributed
 per position, so the same context-adaptive coder + trained per-position
 priors that compress Gumbel codes compress them too — strictly better rate
 at IDENTICAL distortion for latents inside [-1, 1] (the decoded indices are
-bit-exact), no stage-2 training required.  One edge divergence from the
-float uniform rows: index coding clamps out-of-range latents to [-1, 1]
-(quantize_to_indices must produce valid alphabet symbols), while the float
-path's quantize_uniform follows the reference in NOT clipping
-(stylegan3_hvae_full.py:295-318) — a latent outside [-1, 1] therefore
-reconstructs to the nearest grid edge here vs an off-grid value there.
+bit-exact), no stage-2 training required.
+
+Two compositions the round-4 table showed the fixed [-1, 1] index grid
+cannot express, both carried here as container metadata:
+
+- **Refined latents** (``refine_steps`` > 0): encode-time inversion pushes
+  W+ outside [-1, 1]; clamping it to the fixed grid cost 5.5 dB
+  (48.31 dB float vs 42.77 dB coded in round 4).  The encoder now refines in
+  two phases — free inversion, then quantization-aware descent on the
+  per-(image, layer) affine grid spanning the refined latents' actual range
+  — and ships that range (``w_range``, [B, num_ws, 2] float32, counted
+  toward comp_size) so the decoder rebuilds the exact grid.
+- **Per-layer bit allocation** (``quantization_bits`` as a length-num_ws
+  sequence, the guide's recommendation at
+  /root/reference/stylegan3_hvae_guide.md:335-340): each W layer gets its
+  own 2**bits alphabet inside one shared coder alphabet of size
+  2**max(bits); trained per-position priors concentrate the model on each
+  layer's live symbols.
 """
 
 from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 import jax.numpy as jnp
 
-from ..quant.uniform import dequantize_from_indices, quantize_to_indices
+from ..quant.uniform import (
+    dequantize_from_indices,
+    dequantize_from_indices_affine,
+    latent_range,
+    quantize_to_indices,
+    quantize_to_indices_affine,
+)
 from .cabac_compressor import EntropyCodecBase
 from .compressor import Compressor
 
@@ -30,20 +50,31 @@ from .compressor import Compressor
 class UniformCABACCompressor(EntropyCodecBase, Compressor):
     """Stage-1 codec (encode -> uniform quantize) + CABAC entropy layer.
 
-    ``quantization_bits`` must be a scalar (per-layer allocations would need
-    per-layer symbol alphabets — use the gumbel/CABAC codec for that regime).
+    ``quantization_bits``: scalar, or a length-num_ws sequence for the
+    per-layer allocation regime.
     """
 
-    def __init__(self, *args, quantization_bits: int = 8, **kwargs):
-        bits = int(quantization_bits)
+    def __init__(self, *args, quantization_bits=8, **kwargs):
+        if isinstance(quantization_bits, (int, np.integer)):
+            bits_list = [int(quantization_bits)]
+            self.bits_per_layer: Optional[Tuple[int, ...]] = None
+        else:
+            bits_list = [int(b) for b in quantization_bits]
+            self.bits_per_layer = tuple(bits_list)
         # 15-bit cap: the range coder's adaptive model requires
         # total frequency < 2^16 (coding/rangecoder.py), and the prior tables
         # add PRIOR_MASS on top of n_symbols — at 16 bits (65536 symbols)
         # neither the adaptive nor the priors mode can satisfy the invariant.
-        if not 1 <= bits <= 15:
-            raise ValueError(f"quantization_bits must be in [1, 15]: {bits}")
+        for b in bits_list:
+            if not 1 <= b <= 15:
+                raise ValueError(f"quantization_bits must be in [1, 15]: {b}")
         super().__init__(*args, **kwargs)
-        self.quantization_bits = bits
+        self.quantization_bits = max(bits_list)
+        if (self.bits_per_layer is not None
+                and len(self.bits_per_layer) != self.generator_cfg.num_ws):
+            raise ValueError(
+                f"per-layer bits must have num_ws={self.generator_cfg.num_ws} "
+                f"entries: got {len(self.bits_per_layer)}")
 
     @property
     def n_symbols(self) -> int:
@@ -51,20 +82,59 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
 
     @property
     def _latents_id(self) -> str:
-        return f"uniform-{self.quantization_bits}bit"
+        if self.bits_per_layer is None:
+            return f"uniform-{self.quantization_bits}bit"
+        return "uniform-" + ",".join(map(str, self.bits_per_layer)) + "bit"
+
+    @property
+    def _effective_bits(self):
+        return (self.quantization_bits if self.bits_per_layer is None
+                else self.bits_per_layer)
+
+    def _raw_index_bits(self, codes: np.ndarray) -> float:
+        if self.bits_per_layer is None:
+            return codes.size * float(self.quantization_bits)
+        # fixed-width packing honours the allocation: sum of per-layer widths
+        B, T, D = codes.shape
+        return B * D * float(sum(self.bits_per_layer))
 
     def _latent_codes(self, x, refine_steps: int = 0,
-                      refine_lr: float = 0.02) -> np.ndarray:
+                      refine_lr: float = 0.02) -> Tuple[np.ndarray, Dict]:
+        bits = self._effective_bits
         w = self.encode(x, deterministic=True)
         if refine_steps:
-            # quantization-aware: refine toward the exact reconstruction the
-            # decoder will compute from the coded indices
-            w = self.refine(w, x, steps=refine_steps, lr=refine_lr,
-                            quantization_bits=self.quantization_bits)
+            # Phase 1 — free inversion: W+ may (and should) leave [-1, 1].
+            s1 = (refine_steps + 1) // 2
+            s2 = refine_steps - s1
+            w = self.refine(w, x, steps=s1, lr=refine_lr)
+            lo, hi = latent_range(np.asarray(w))
+            if s2:
+                # Phase 2 — quantization-aware on the grid the decoder will
+                # actually reconstruct from (affine span, boundary clamp).
+                w = self.refine(w, x, steps=s2, lr=refine_lr,
+                                quantization_bits=bits, w_range=(lo, hi))
+            codes = np.asarray(
+                quantize_to_indices_affine(w, bits, lo, hi), np.int32)
+            return codes, {"w_range": np.stack([lo, hi], -1).tolist()}
+        if self.bits_per_layer is None:
+            # fixed [-1, 1] grid — bit-exact with the `.npz` float path
+            return np.asarray(
+                quantize_to_indices(w, self.quantization_bits), np.int32), {}
+        ones = np.ones(w.shape[:2], np.float32)
         return np.asarray(
-            quantize_to_indices(w, self.quantization_bits), np.int32)
+            quantize_to_indices_affine(w, bits, -ones, ones), np.int32), {}
 
-    def _reconstruct_codes(self, codes: np.ndarray) -> jnp.ndarray:
-        w = dequantize_from_indices(jnp.asarray(codes),
-                                    self.quantization_bits)
+    def _reconstruct_codes(self, codes: np.ndarray,
+                           metadata: Optional[Dict] = None) -> jnp.ndarray:
+        bits = self._effective_bits
+        codes = jnp.asarray(codes)
+        if metadata and metadata.get("w_range") is not None:
+            wr = np.asarray(metadata["w_range"], np.float32)  # [B, T, 2]
+            w = dequantize_from_indices_affine(codes, bits,
+                                               wr[..., 0], wr[..., 1])
+        elif self.bits_per_layer is None:
+            w = dequantize_from_indices(codes, self.quantization_bits)
+        else:
+            ones = np.ones(codes.shape[:2], np.float32)
+            w = dequantize_from_indices_affine(codes, bits, -ones, ones)
         return self.decompress(w)

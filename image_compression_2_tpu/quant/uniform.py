@@ -33,6 +33,57 @@ def dequantize_from_indices(idx: jnp.ndarray, bits: int) -> jnp.ndarray:
     return (idx.astype(jnp.float32) / scale) * 2.0 - 1.0
 
 
+def _per_layer_scales(bits, num_ws: int) -> jnp.ndarray:
+    """(2**bits - 1) per W layer, shaped [1, num_ws, 1]; ``bits`` may be a
+    scalar or a length-num_ws sequence."""
+    if isinstance(bits, (int, float)) or (
+            hasattr(bits, "ndim") and bits.ndim == 0):
+        b = [int(bits)] * num_ws
+    else:
+        b = [int(x) for x in bits]
+        assert len(b) == num_ws, (len(b), num_ws)
+    return jnp.asarray([(1 << x) - 1 for x in b], jnp.float32)[None, :, None]
+
+
+def latent_range(w, eps: float = 1e-6):
+    """Per-(image, W-layer) coding range covering ``w`` exactly.
+
+    Returns ``(lo, hi)`` float32 arrays of shape [B, num_ws].  This is the
+    side information that lets entropy-coded indices represent latents
+    OUTSIDE [-1, 1]: encode-time refinement (codec/refine.py) legitimately
+    pushes W+ past the training range, and the fixed [-1, 1] index grid then
+    clamps away most of refinement's gain (round-4 RD: 48.31 dB float vs
+    42.77 dB coded).  A degenerate layer (hi == lo) is widened by ``eps`` so
+    the affine map stays invertible.
+    """
+    import numpy as np  # host-side: ranges travel in container metadata
+
+    w = np.asarray(w, np.float32)
+    lo = w.min(axis=-1)
+    hi = w.max(axis=-1)
+    flat = hi - lo < eps
+    lo = np.where(flat, lo - eps, lo)
+    hi = np.where(flat, hi + eps, hi)
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def quantize_to_indices_affine(w: jnp.ndarray, bits, lo, hi) -> jnp.ndarray:
+    """Quantize to integer indices on a per-(image, layer) affine grid
+    spanning [lo, hi] (shapes [B, num_ws]); ``bits`` scalar or per-layer."""
+    scales = _per_layer_scales(bits, w.shape[1])
+    lo = jnp.asarray(lo, jnp.float32)[:, :, None]
+    hi = jnp.asarray(hi, jnp.float32)[:, :, None]
+    w01 = jnp.clip((w - lo) / (hi - lo), 0.0, 1.0)
+    return jnp.round(w01 * scales).astype(jnp.int32)
+
+
+def dequantize_from_indices_affine(idx: jnp.ndarray, bits, lo, hi) -> jnp.ndarray:
+    scales = _per_layer_scales(bits, idx.shape[1])
+    lo = jnp.asarray(lo, jnp.float32)[:, :, None]
+    hi = jnp.asarray(hi, jnp.float32)[:, :, None]
+    return lo + (idx.astype(jnp.float32) / scales) * (hi - lo)
+
+
 def quantize_uniform_per_layer(w: jnp.ndarray, bits_per_layer) -> jnp.ndarray:
     """Per-W-layer bit allocation (reference guide's recommendation:
     10-12 bits for the coarse layers, 4-6 for the fine ones —

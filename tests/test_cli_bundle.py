@@ -143,13 +143,17 @@ def test_cli_compress_decompress_eval(tmp_path, capsys):
 
     cmp_dir = str(tmp_path / "cmp")
     cli_main(["compare", "--bundle", cbundle, "--image", img_path,
-              "--output", cmp_dir, "--resolution", str(RES), "--no-bf16"])
+              "--output", cmp_dir, "--resolution", str(RES), "--no-bf16",
+              "--refine-steps", "2"])
     captured = capsys.readouterr().out
     assert "hvae-cabac" in captured and "png" in captured
     # full reference-shaped metric set (README.md:376-388): classical rows
     # carry quality numbers too, plus JPEG 2000 and MS-SSIM/LPIPS columns
     assert "jpeg2000" in captured and "ms-ssim" in captured
     assert "lpips(rf)" in captured
+    # encode-time-refined rows (round-5: compare must show the +refine lever)
+    assert "hvae-cabac+refine2" in captured
+    assert "+refine2" in captured and "-cabac+refine2" in captured
     jpeg_row = [l for l in captured.splitlines() if l.startswith("jpeg-q90")]
     assert jpeg_row and "-" not in jpeg_row[0].split()[3]  # psnr measured
 
@@ -225,11 +229,18 @@ def test_cli_uniform_cabac_roundtrip(tmp_path):
                   "--output", out_png, "--resolution", str(RES), "--no-bf16",
                   "--method", "uniform-cabac", "--bits", "8"])
 
-    # per-layer --bits with the entropy codec is rejected with a clear error
-    with pytest.raises(SystemExit, match="scalar"):
-        cli_main(["compress", "--bundle", bundle, "--image", img_path,
-                  "--output", cfile, "--resolution", str(RES), "--no-bf16",
-                  "--method", "uniform-cabac", "--bits", "6,6,6,6,6,6"])
+    # per-layer --bits rides the same CLI path (per-layer symbol alphabets
+    # inside one shared coder — codec/uniform_cabac.py)
+    alloc = ",".join(["8", "6"] + ["4"] * (gen_cfg.num_ws - 2))
+    plfile = str(tmp_path / "pl.cabac")
+    cli_main(["compress", "--bundle", bundle, "--image", img_path,
+              "--output", plfile, "--resolution", str(RES), "--no-bf16",
+              "--method", "uniform-cabac", "--bits", alloc])
+    out2 = str(tmp_path / "recon_pl.png")
+    cli_main(["decompress", "--bundle", bundle, "--compressed", plfile,
+              "--output", out2, "--resolution", str(RES), "--no-bf16",
+              "--method", "uniform-cabac", "--bits", alloc])
+    assert os.path.exists(out2)
 
 
 def test_uniform_cabac_bundle_roundtrip(tmp_path):

@@ -118,3 +118,121 @@ def test_bits_validation():
         _codec(bits=0)
     with pytest.raises(ValueError, match="quantization_bits"):
         _codec(bits=17)
+
+
+def test_affine_index_roundtrip_exact():
+    """Affine indices reconstruct within half a grid step, INCLUDING latents
+    far outside [-1, 1] (the refined-latent regime the fixed grid clamps)."""
+    from image_compression_2_tpu.quant.uniform import (
+        dequantize_from_indices_affine,
+        latent_range,
+        quantize_to_indices_affine,
+    )
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(0.0, 2.0, (2, 4, 16)).astype(np.float32)
+    assert np.abs(w).max() > 1.5  # the regime under test
+    lo, hi = latent_range(w)
+    for bits in (8, [4, 8, 6, 10]):
+        idx = np.asarray(quantize_to_indices_affine(w, bits, lo, hi))
+        scales = np.asarray(
+            [(1 << (bits if isinstance(bits, int) else bits[t])) - 1
+             for t in range(4)], np.float32)
+        assert idx.min() >= 0
+        assert (idx.max(axis=(0, 2)) <= scales).all()
+        back = np.asarray(dequantize_from_indices_affine(idx, bits, lo, hi))
+        half_step = (hi - lo)[:, :, None] / scales[None, :, None] / 2
+        assert (np.abs(back - w) <= half_step + 1e-5).all()
+
+
+def test_refined_latents_survive_entropy_coding():
+    """The coded refined path must reconstruct the refined latents to within
+    affine quantization error — no [-1,1] clamp cliff (round-4: -5.5 dB)."""
+    from image_compression_2_tpu.quant.uniform import (
+        dequantize_from_indices_affine,
+    )
+
+    comp = _codec(bits=8)
+    x = _images(1, seed=6)
+    codes, extra = comp._latent_codes(x, refine_steps=4)
+    assert "w_range" in extra
+    wr = np.asarray(extra["w_range"], np.float32)
+    lo, hi = wr[..., 0], wr[..., 1]
+    w_dec = np.asarray(dequantize_from_indices_affine(codes, 8, lo, hi))
+    # decoded latents live on the affine grid spanning the refined range,
+    # not clamped to [-1, 1]
+    assert (w_dec.min(axis=-1) >= lo - 1e-5).all()
+    assert (w_dec.max(axis=-1) <= hi + 1e-5).all()
+    # full roundtrip through the entropy layer carries the range
+    payload, meta = comp.compress_entropy(x, refine_steps=4)
+    assert meta.get("w_range") is not None
+    # side information is charged to the rate
+    n_range_bytes = np.asarray(meta["w_range"]).size * 4
+    assert meta["comp_size"] >= n_range_bytes
+    img = comp.decompress_entropy(payload, meta)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_refined_container_roundtrip_with_range(tmp_path):
+    comp = _codec(bits=8)
+    x = _images(1, seed=7)
+    f = str(tmp_path / "r.cabac")
+    comp.save_compressed(x, f, refine_steps=4)
+    ref = np.asarray(
+        comp.decompress_entropy(*comp.compress_entropy(x, refine_steps=4)))
+    img, ratio = comp.load_compressed(f)
+    np.testing.assert_array_equal(np.asarray(img), ref)
+
+
+def test_per_layer_bit_allocation_codec():
+    gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                   margin_size=1)
+    enc_cfg = EncoderConfig.tiny(img_resolution=RES, w_dim=gen_cfg.w_dim,
+                                 num_ws=gen_cfg.num_ws, block_split=(2, 4))
+    alloc = ([10, 8] + [6] * (gen_cfg.num_ws - 4) + [4, 4])[:gen_cfg.num_ws]
+    comp = UniformCABACCompressor.create(enc_cfg, gen_cfg, seed=0,
+                                         quantization_bits=alloc)
+    assert comp.n_symbols == 1 << 10
+    x = _images(2, seed=8)
+    payload, meta = comp.compress_entropy(x, use_cabac=True)
+    # orig_size honours the allocation, not the max alphabet
+    w_dim = gen_cfg.w_dim
+    assert meta["orig_size"] == pytest.approx(2 * w_dim * sum(alloc) / 8)
+    img = comp.decompress_entropy(payload, meta)
+    assert img.shape == (2, RES, RES, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+    # a scalar-bits codec refuses the per-layer stream (and vice versa)
+    scalar = _codec(bits=8)
+    with pytest.raises(ValueError, match="uniform-"):
+        scalar.decompress_entropy(payload, meta)
+
+    # refined per-layer path roundtrips too
+    payload2, meta2 = comp.compress_entropy(x[:1], refine_steps=2)
+    img2 = comp.decompress_entropy(payload2, meta2)
+    assert np.isfinite(np.asarray(img2)).all()
+
+    # wrong-length allocation is rejected
+    with pytest.raises(ValueError, match="per-layer"):
+        UniformCABACCompressor.create(enc_cfg, gen_cfg, seed=0,
+                                      quantization_bits=[8, 8])
+
+
+def test_priors_auto_mode_never_loses_to_adaptive():
+    """use_priors=None (auto) with a MISMATCHED prior table must fall back
+    to adaptive contexts when they code smaller (round-4 RD: 4-bit priors
+    lost 240:1 vs 249:1)."""
+    comp = _codec(bits=4)
+    # calibrate on a DIFFERENT codec's latents: a maximally stale prior
+    other = _codec(bits=4, seed=99)
+    x_calib = _images(8, seed=9)
+    codes, _ = other._latent_codes(x_calib)
+    from image_compression_2_tpu.coding import build_prior
+
+    comp.priors = build_prior(codes, comp.n_symbols)
+    x = _images(2, seed=10)
+    _, meta_adapt = comp.compress_entropy(x, use_priors=False)
+    payload, meta_auto = comp.compress_entropy(x)  # auto
+    assert meta_auto["comp_size"] <= meta_adapt["comp_size"]
+    img = comp.decompress_entropy(payload, meta_auto)
+    assert np.isfinite(np.asarray(img)).all()
