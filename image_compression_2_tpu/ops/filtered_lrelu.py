@@ -26,16 +26,50 @@ from .upfirdn_matmul import upfirdn2d_mm
 _PALLAS_MODES = ("mmfuse2", "mmfuse3")
 
 
-def _tp_mesh_active() -> bool:
-    """True when the ambient mesh (``with mesh:``) has a model axis > 1 —
-    i.e. activations may be channel-sharded for tensor parallelism."""
+def _mesh_axis_sizes():
+    """(n_model, n_data) of the ambient mesh (``with mesh:``); (1, 1) when
+    no mesh is active.  n_model > 1 means activations may be channel-sharded
+    for tensor parallelism."""
     try:
         from jax._src.mesh import thread_resources
 
         m = thread_resources.env.physical_mesh
-        return (not m.empty) and int(dict(m.shape).get("model", 1)) > 1
+        if m.empty:
+            return 1, 1
+        axes = dict(m.shape)
+        return int(axes.get("model", 1)), int(axes.get("data", 1))
     except Exception:
-        return False
+        return 1, 1
+
+
+def _shard_map_kernel(kernel, x, fu, fd, b, **kw):
+    """Run a depthwise Pallas kernel under an active model-axis mesh.
+
+    filtered_lrelu is channel-separable (the FIR resampling and the
+    nonlinearity act per channel), so channel shards are fully independent:
+    ``shard_map`` over the ``model`` axis (and ``data`` over batch when it
+    divides) runs the SAME kernel per device on its local
+    [B/dp, H, W, C/tp] block with ZERO collectives — the tensor-parallel
+    answer to a pallas_call carrying no partitioning rule (round-4 weak #7:
+    a model-axis mesh used to silently give up the fused Pallas wins)."""
+    import functools
+
+    from jax import shard_map
+    from jax._src.mesh import thread_resources
+    from jax.sharding import PartitionSpec as P
+
+    mesh = thread_resources.env.physical_mesh
+    n_data = int(dict(mesh.shape).get("data", 1))
+    batch_axis = ("data" if n_data > 1 and x.shape[0] % n_data == 0 else None)
+    x_spec = P(batch_axis, None, None, "model")
+    fn = functools.partial(kernel, fu=fu, fd=fd, **kw)
+    if b is None:
+        return shard_map(lambda xs: fn(xs, b=None), mesh=mesh,
+                         in_specs=(x_spec,), out_specs=x_spec,
+                         check_vma=False)(x)
+    return shard_map(lambda xs, bs: fn(xs, b=bs), mesh=mesh,
+                     in_specs=(x_spec, P("model")), out_specs=x_spec,
+                     check_vma=False)(x, b)
 
 
 def filtered_lrelu(
@@ -95,53 +129,61 @@ def filtered_lrelu(
     tu = 1 if fu is None else len(np.asarray(fu))
     td = 1 if fd is None else len(np.asarray(fd))
     auto = mode == "auto"
+    n_model, n_data = _mesh_axis_sizes()
+
+    def _shard_geom():
+        """The per-device geometry a Pallas kernel actually runs under the
+        ambient mesh (channels over 'model', batch over 'data'); None when a
+        model axis is active but channels don't divide it."""
+        B, H, W, C = x.shape
+        if n_model > 1 and C % n_model:
+            return None
+        b_eff = B // n_data if (n_data > 1 and B % n_data == 0) else B
+        return max(1, b_eff), H, W, C // n_model if n_model > 1 else C
+
     if auto and separable and (up > 1 or down > 1):
         from .flrelu_policy import lookup, usable
 
-        measured = usable(lookup(
-            x.shape[0], x.shape[1], x.shape[2], x.shape[3],
-            up, down, tu, td, (px0, px1, py0, py1)))
+        geom = _shard_geom()
+        gb, gh, gw, gc = geom if geom is not None else (
+            x.shape[0], x.shape[1], x.shape[2], x.shape[3])
+        # policy consulted at the PER-SHARD geometry: that is what each
+        # device executes under the mesh
+        measured = usable(lookup(gb, gh, gw, gc,
+                                 up, down, tu, td, (px0, px1, py0, py1)))
         if measured is not None:
-            if measured in _PALLAS_MODES and _tp_mesh_active():
-                # Pallas kernels carry no partitioning rule: with a model
-                # axis active the activations are channel-sharded, and XLA
-                # would have to all-gather around (or reject) the
-                # pallas_call.  The banded-matmul path propagates shardings
-                # natively, so tensor-parallel runs stay on it.
+            if measured in _PALLAS_MODES and n_model > 1 and geom is None:
+                # channels don't divide the model axis: no clean channel
+                # shard_map — the banded-matmul path propagates shardings
+                # natively, so stay on it
                 measured = "matmul"
             mode = measured
-    if mode == "mmfuse2":
+    if mode in _PALLAS_MODES:
         if not (separable and (up > 1 or down > 1)):
             raise ValueError(
-                "mode='mmfuse2' requires separable 1-D filters and up/down > 1")
-        from .pallas_flrelu_wfuse2 import filtered_lrelu_wfuse2, fits_wfuse2
-
-        B, H, W, C = x.shape
-        if fits_wfuse2(B, H, W, C, up, down, tu, td,
-                       (px0, px1, py0, py1), dtype=x.dtype):
-            return filtered_lrelu_wfuse2(
-                x, fu, fd, b, up=up, down=down, padding=padding,
-                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
-            )
+                f"mode={mode!r} requires separable 1-D filters and up/down > 1")
+        if mode == "mmfuse2":
+            from .pallas_flrelu_wfuse2 import (
+                filtered_lrelu_wfuse2 as kernel, fits_wfuse2 as fits)
+        else:
+            from .pallas_flrelu_wfuse3 import (
+                filtered_lrelu_wfuse3 as kernel, fits_wfuse3 as fits)
+        geom = _shard_geom()
+        kw = dict(up=up, down=down, padding=padding, gain=gain, slope=slope,
+                  clamp=clamp, fp32_mxu=fp32_mxu)
+        if (geom is not None
+                and fits(*geom, up, down, tu, td, (px0, px1, py0, py1),
+                         dtype=x.dtype)):
+            if n_model > 1:
+                # tensor-parallel: the SAME kernel per device on its channel
+                # shard via shard_map (depthwise op — zero collectives)
+                return _shard_map_kernel(kernel, x, fu, fd, b, **kw)
+            return kernel(x, fu, fd, b, **kw)
         if not auto:
-            raise ValueError("no legal wfuse2 block for this geometry")
-        mode = "matmul"  # stale policy entry: degrade, don't crash
-    if mode == "mmfuse3":
-        if not (separable and (up > 1 or down > 1)):
             raise ValueError(
-                "mode='mmfuse3' requires separable 1-D filters and up/down > 1")
-        from .pallas_flrelu_wfuse3 import filtered_lrelu_wfuse3, fits_wfuse3
-
-        B, H, W, C = x.shape
-        if fits_wfuse3(B, H, W, C, up, down, tu, td,
-                       (px0, px1, py0, py1), dtype=x.dtype):
-            return filtered_lrelu_wfuse3(
-                x, fu, fd, b, up=up, down=down, padding=padding,
-                gain=gain, slope=slope, clamp=clamp, fp32_mxu=fp32_mxu,
-            )
-        if not auto:
-            raise ValueError("no legal wfuse3 block for this geometry")
-        mode = "matmul"  # stale policy entry: degrade, don't crash
+                f"no legal {mode} block for this geometry (per-shard "
+                f"{geom}, model axis {n_model})")
+        mode = "matmul"  # stale policy entry / non-fitting shard: degrade
     use_mm = mode in ("matmul", "sandwich", "blocked") or (
         mode == "auto" and separable and (up > 1 or down > 1)
     )

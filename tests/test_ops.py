@@ -172,30 +172,88 @@ def test_modulated_conv2d_matches_grouped_form(demodulate, padding):
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
-def test_auto_mode_avoids_pallas_under_tensor_parallel_mesh(monkeypatch):
-    """With a model-axis mesh active, 'auto' must not select a Pallas mode
-    (no partitioning rule for pallas_call: XLA would all-gather the channel-
-    sharded activations around it or reject it) — it degrades to the banded
-    matmul path, which propagates shardings natively."""
+def test_auto_mode_tp_mesh_degrades_when_unshardable(monkeypatch):
+    """With a model-axis mesh active and channels NOT divisible by it (or a
+    per-shard geometry the kernel rejects), 'auto' degrades a Pallas policy
+    entry to the banded matmul path, which propagates shardings natively."""
     import jax
     from jax.sharding import Mesh
 
     import image_compression_2_tpu.ops.flrelu_policy as pol
     from image_compression_2_tpu.ops import filtered_lrelu
-    from image_compression_2_tpu.ops.filtered_lrelu import _tp_mesh_active
+    from image_compression_2_tpu.ops.filtered_lrelu import _mesh_axis_sizes
 
     monkeypatch.setattr(pol, "lookup", lambda *a, **k: "mmfuse2")
     x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 8), jnp.float32)
     fu = np.ones(4, np.float32) / 4
 
-    assert not _tp_mesh_active()
+    assert _mesh_axis_sizes() == (1, 1)
     want = filtered_lrelu(x, fu, fu, up=2, down=2, padding=2, mode="matmul")
-    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    devs = np.array(jax.devices()[:3]).reshape(1, 3)  # C=8 % 3 != 0
     with Mesh(devs, ("data", "model")):
-        assert _tp_mesh_active()
+        assert _mesh_axis_sizes() == (3, 1)
         got = filtered_lrelu(x, fu, fu, up=2, down=2, padding=2, mode="auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tp_mesh_shard_maps_pallas_kernel(monkeypatch):
+    """With a model-axis mesh and a per-shard geometry the kernel accepts,
+    the Pallas path runs via shard_map over channel shards (depthwise op —
+    zero collectives) instead of degrading to matmul (round-4 weak #7).
+    Policy is consulted at the per-shard geometry; interpret mode on CPU."""
+    import jax
+    import jax.experimental.pallas as pl
+    from jax.sharding import Mesh
+
+    import image_compression_2_tpu.ops.flrelu_policy as pol
+    import image_compression_2_tpu.ops.pallas_flrelu_wfuse2 as wf2
+    from image_compression_2_tpu.ops import (design_lowpass_filter,
+                                             filtered_lrelu)
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return real_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    wf2._build_call.cache_clear()
+
+    kernel_runs = []
+    real_kernel = wf2.filtered_lrelu_wfuse2
+
+    def spy(*a, **k):
+        kernel_runs.append(a[0].shape)
+        return real_kernel(*a, **k)
+
+    monkeypatch.setattr(wf2, "filtered_lrelu_wfuse2", spy)
+
+    # policy spy: must be consulted at the PER-SHARD channel count
+    lookups = []
+
+    def fake_lookup(b, h, w, c, *a, **k):
+        lookups.append(c)
+        return "mmfuse2"
+
+    monkeypatch.setattr(pol, "lookup", fake_lookup)
+    monkeypatch.setattr(pol, "FORCE_PALLAS_ON_CPU", True)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 256), jnp.float32)
+    b = jnp.asarray(rng.randn(256), jnp.float32)
+    fu = design_lowpass_filter(12, 0.4, 0.4, 4.0)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    want = filtered_lrelu(x, fu, fu, b, mode="matmul", **kw)
+    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    with Mesh(devs, ("data", "model")):
+        got = filtered_lrelu(x, fu, fu, b, mode="auto", **kw)
+    assert lookups == [128]          # per-shard geometry consulted
+    assert kernel_runs               # Pallas kernel ran (not matmul)
+    assert all(s[-1] == 128 for s in kernel_runs)  # on the channel shard
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+    wf2._build_call.cache_clear()
 
 
 def test_policy_grad_lookup_and_fallback():

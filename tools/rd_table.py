@@ -303,10 +303,14 @@ def main():
         rows["gumbel+cabac"]["codec"] = cab_lm["codec"]
         print(f"gumbel+cabac: {rows['gumbel+cabac']}", flush=True)
 
+        # auto priors: the codec encodes with the trained table AND plain
+        # adaptive contexts and ships the smaller stream, so this row can
+        # never lose to gumbel+cabac (round-4 weak #4)
         cab.calibrate(x_calib)
-        recon, comp = chunked_rt(cab_rt(cab_lm, use_priors=True), x_eval)
+        recon, comp = chunked_rt(cab_rt(cab_lm), x_eval)
         rows["gumbel+cabac+priors"] = metrics(x_eval, recon, comp)
         rows["gumbel+cabac+priors"]["codec"] = cab_lm["codec"]
+        rows["gumbel+cabac+priors"]["priors_used"] = cab_lm["use_priors"]
         print(f"gumbel+cabac+priors: {rows['gumbel+cabac+priors']}",
               flush=True)
 
@@ -353,6 +357,15 @@ def main():
                 return uc.decompress_entropy(payload, meta), meta["comp_size"]
             return fn
 
+        uc_lm = {}
+
+        def uc_rt2(uc, **kw):
+            def fn(xc):
+                payload, meta = uc.compress_entropy(xc, **kw)
+                uc_lm.update(meta)
+                return uc.decompress_entropy(payload, meta), meta["comp_size"]
+            return fn
+
         for bits in (4, 8):
             uc = UniformCABACCompressor(
                 enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
@@ -362,20 +375,41 @@ def main():
             rows[name] = metrics(x_eval, recon, comp)
             print(f"{name}: {rows[name]}", flush=True)
             if args.n_calib:
+                # auto priors: trained table vs adaptive, smaller stream wins
+                # per image — this row can never lose to the row above
                 uc.calibrate(x_calib)
-                recon, comp = chunked_rt(uc_rt(uc, use_priors=True), x_eval)
+                recon, comp = chunked_rt(uc_rt2(uc), x_eval)
                 name = f"uniform-{bits}bit+cabac+priors"
                 rows[name] = metrics(x_eval, recon, comp)
+                rows[name]["priors_used"] = uc_lm["use_priors"]
                 print(f"{name}: {rows[name]}", flush=True)
                 if args.refine:
-                    # refined codes have tighter statistics: recalibrate
+                    # Refined codes ride the per-(image, layer) affine grid
+                    # (codec/uniform_cabac.py): refinement's out-of-[-1,1]
+                    # latents survive entropy coding instead of clamping
+                    # (round-4: 48.31 float vs 42.77 coded).  Priors are
+                    # recalibrated on refined codes; auto mode keeps the
+                    # better of priors/adaptive per image.
                     uc.calibrate(x_calib, refine_steps=args.refine)
                     recon, comp = chunked_rt(
-                        uc_rt(uc, use_priors=True, refine_steps=args.refine),
-                        x_eval)
+                        uc_rt2(uc, refine_steps=args.refine,
+                               refine_lr=args.refine_lr), x_eval)
                     name = f"uniform-{bits}bit+cabac+priors+refine{args.refine}"
                     rows[name] = metrics(x_eval, recon, comp)
+                    rows[name]["priors_used"] = uc_lm["use_priors"]
                     print(f"{name}: {rows[name]}", flush=True)
+
+        # Per-layer allocation THROUGH the entropy coder (round-4 missing #3:
+        # the guide's bit allocation could not ride the best-rate layer).
+        uc_pl = UniformCABACCompressor(
+            enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
+            quantization_bits=alloc)
+        if args.n_calib:
+            uc_pl.calibrate(x_calib)
+        recon, comp = chunked_rt(uc_rt2(uc_pl), x_eval)
+        name = "per-layer-alloc+cabac" + ("+priors" if args.n_calib else "")
+        rows[name] = metrics(x_eval, recon, comp)
+        print(f"{name}: {rows[name]}", flush=True)
 
     if args.alloc_sweep:
         # Coarse-heavy candidates (high bits for the early W layers, per the
@@ -484,10 +518,11 @@ def main():
         cab.calibrate(x_calib, refine_steps=args.refine)
         name = f"gumbel+cabac+priors+refine{args.refine}"
         recon, comp = chunked_rt(
-            cab_rt(cab_lm, use_priors=True, refine_steps=args.refine,
+            cab_rt(cab_lm, refine_steps=args.refine,
                    refine_lr=args.refine_lr), x_eval)
         rows[name] = metrics(x_eval, recon, comp)
         rows[name]["codec"] = cab_lm["codec"]
+        rows[name]["priors_used"] = cab_lm["use_priors"]
         print(f"{name}: {rows[name]}", flush=True)
 
     flush_rows()
