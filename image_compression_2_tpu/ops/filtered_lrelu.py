@@ -23,7 +23,7 @@ from .bias_act import bias_act
 from .upfirdn2d import upfirdn2d, Padding, _parse_padding
 from .upfirdn_matmul import upfirdn2d_mm
 
-_PALLAS_MODES = ("mmfuse2", "mmfuse3")
+_PALLAS_MODES = ("mmfuse2", "mmfuse3", "hfuse")
 
 
 def _mesh_axis_sizes():
@@ -118,7 +118,7 @@ def filtered_lrelu(
     round 4 (PARITY §2.7 records the numbers; git history has the kernels).
     """
     if mode not in ("auto", "conv", "matmul", "sandwich", "blocked",
-                    "mmfuse2", "mmfuse3"):
+                    "mmfuse2", "mmfuse3", "hfuse"):
         # an unknown (or removed: 'tiled'/'mmfuse') mode must not silently
         # run a different path — it would mislabel benchmark/policy timings
         raise ValueError(f"unknown filtered_lrelu mode {mode!r}")
@@ -165,6 +165,9 @@ def filtered_lrelu(
         if mode == "mmfuse2":
             from .pallas_flrelu_wfuse2 import (
                 filtered_lrelu_wfuse2 as kernel, fits_wfuse2 as fits)
+        elif mode == "hfuse":
+            from .pallas_flrelu_hfuse import (
+                filtered_lrelu_hfuse as kernel, fits_hfuse as fits)
         else:
             from .pallas_flrelu_wfuse3 import (
                 filtered_lrelu_wfuse3 as kernel, fits_wfuse3 as fits)

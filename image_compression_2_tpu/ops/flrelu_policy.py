@@ -33,7 +33,7 @@ _policy: Optional[Dict[str, Dict[str, str]]] = None
 # mode='auto' degrades them to matmul there.  Tests that exercise the
 # routing under the Pallas interpreter set this to True.
 FORCE_PALLAS_ON_CPU = False
-_PALLAS_MODES = frozenset({"mmfuse2", "mmfuse3"})
+_PALLAS_MODES = frozenset({"mmfuse2", "mmfuse3", "hfuse"})
 
 # Trace-time context: True while a training process is tracing its steps.
 # Mode selection happens at Python trace time (inside jit tracing), so a

@@ -161,7 +161,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--modes",
-                    default="matmul,sandwich,blocked,mmfuse2,mmfuse3,conv")
+                    default="matmul,sandwich,blocked,mmfuse2,mmfuse3,hfuse,conv")
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (jax.grad of a scalar loss) instead "
                          "of the forward — the training path's cost; with "
