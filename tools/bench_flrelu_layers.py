@@ -76,6 +76,17 @@ def bench_config(res, batch, iters, modes, dtype_name, winners, rows,
             ):
                 row += f" {'n/a':>10s}"
                 continue
+            if m == "hfuse":
+                from image_compression_2_tpu.ops.pallas_flrelu_hfuse import (
+                    fits_hfuse)
+
+                if (np.ndim(fu) > 1 or np.ndim(fd) > 1
+                        or not fits_hfuse(
+                            batch, H, H, C, spec.up_factor, spec.down_factor,
+                            spec.up_taps, spec.down_taps, spec.padding,
+                            dtype=dtype)):
+                    row += f" {'n/a':>10s}"
+                    continue
             fn = jax.jit(lambda x, b, m=m: filtered_lrelu(
                 x, fu, fd, b, up=spec.up_factor, down=spec.down_factor,
                 padding=spec.padding, clamp=cfg.conv_clamp, mode=m))
@@ -204,10 +215,18 @@ def main():
         meta.update({"hardware": "tpu v5e (1 chip)", "dtype": args.dtype,
                      "iters": args.iters})
         meta["rows_grad" if args.grad else "rows"] = rows
+        # MERGE into the existing table: a partial sweep (subset of
+        # --policy-configs) must update its geometries without wiping the
+        # winners measured for every other config
+        from image_compression_2_tpu.ops.flrelu_policy import _load
+
+        lane_key = "winners_grad" if args.grad else "winners"
+        merged = dict(_load()[lane_key])
+        merged.update(winners)
         if args.grad:
-            save_policy(None, meta, winners_grad=winners)
+            save_policy(None, meta, winners_grad=merged)
         else:
-            save_policy(winners, meta)
+            save_policy(merged, meta)
         lane = "winners_grad" if args.grad else "winners"
         print(f"\nwrote {lane} with {len(winners)} geometries")
     else:
