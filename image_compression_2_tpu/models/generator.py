@@ -240,16 +240,6 @@ class SynthesisLayer(nn.Module):
             if (lowprec and self.precision.mixed)
             else jnp.float32
         )
-        x = modulated_conv2d(
-            x.astype(dtype),
-            weight,
-            styles,
-            demodulate=not spec.is_torgb,
-            padding=spec.conv_kernel - 1,
-            input_gain=input_gain,
-            fp32_mxu=self.precision.fp32_mxu,
-        )
-
         up_filter = design_lowpass_filter(
             numtaps=spec.up_taps,
             cutoff=spec.in_cutoff,
@@ -265,6 +255,52 @@ class SynthesisLayer(nn.Module):
         )
         gain = 1.0 if spec.is_torgb else float(np.sqrt(2.0))
         slope = 1.0 if spec.is_torgb else 0.2
+
+        # Whole-layer fusion: when the measured policy says the single-kernel
+        # conv+flrelu path (`ops/pallas_layerfuse`) wins this geometry, the
+        # conv output and the 2x-oversampled activation never touch HBM.
+        # Forward-path only (the policy gate returns False while training),
+        # never under a model-axis mesh (the conv couples all input
+        # channels, so there is no collective-free channel shard_map).
+        if (
+            not spec.is_torgb
+            and (spec.up_factor > 1 or spec.down_factor > 1)
+            and np.ndim(up_filter) == 1
+            and np.ndim(down_filter) == 1
+        ):
+            from ..ops.filtered_lrelu import _mesh_axis_sizes
+            from ..ops.flrelu_policy import layer_fused
+            from ..ops.pallas_layerfuse import (fits_layerfuse,
+                                                fused_synthesis_layer)
+
+            B, H, W = x.shape[0], x.shape[1], x.shape[2]
+            args = (B, H, W, spec.in_channels, spec.out_channels,
+                    spec.conv_kernel, spec.up_factor, spec.down_factor,
+                    spec.up_taps, spec.down_taps, spec.padding)
+            if (
+                _mesh_axis_sizes() == (1, 1)
+                and layer_fused(*args)
+                and fits_layerfuse(*args, dtype=dtype)
+            ):
+                x = fused_synthesis_layer(
+                    x.astype(dtype), weight, styles, bias,
+                    up_filter, down_filter,
+                    up=spec.up_factor, down=spec.down_factor,
+                    padding=spec.padding, input_gain=input_gain,
+                    gain=gain, slope=slope, clamp=self.cfg.conv_clamp,
+                )
+                assert x.shape[1] == spec.out_size and x.shape[3] == spec.out_channels
+                return x
+
+        x = modulated_conv2d(
+            x.astype(dtype),
+            weight,
+            styles,
+            demodulate=not spec.is_torgb,
+            padding=spec.conv_kernel - 1,
+            input_gain=input_gain,
+            fp32_mxu=self.precision.fp32_mxu,
+        )
         x = filtered_lrelu(
             x,
             up_filter,

@@ -75,9 +75,10 @@ def _load() -> Dict[str, Dict[str, str]]:
             with open(_POLICY_FILE) as f:
                 doc = json.load(f)
             _policy = {"winners": doc.get("winners", {}),
-                       "winners_grad": doc.get("winners_grad", {})}
+                       "winners_grad": doc.get("winners_grad", {}),
+                       "layers": doc.get("layers", {})}
         except (OSError, ValueError):
-            _policy = {"winners": {}, "winners_grad": {}}
+            _policy = {"winners": {}, "winners_grad": {}, "layers": {}}
     return _policy
 
 
@@ -131,11 +132,39 @@ def lookup(B, H, W, C, up, down, fu_taps, fd_taps, pad,
     return _nearest_batch(tables["winners"], key)
 
 
+def layer_key(B: int, H: int, W: int, Cin: int, Cout: int, k: int,
+              up: int, down: int, fu_taps: int, fd_taps: int,
+              pad: Tuple[int, int, int, int]) -> str:
+    """Key for the whole-layer fusion table (conv geometry included)."""
+    return (f"b{B}:{H}x{W}:{Cin}>{Cout}:k{k}:u{up}d{down}"
+            f":t{fu_taps},{fd_taps}:p{','.join(map(str, pad))}")
+
+
+def layer_fused(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps,
+                pad) -> bool:
+    """True when the measured whole-layer fused kernel (`pallas_layerfuse`)
+    wins this layer's geometry.  Forward table only: training (set_train)
+    keeps the unfused path, and non-TPU backends cannot compile the kernel.
+    Falls back to the nearest measured batch like :func:`lookup`."""
+    if _TRAIN:
+        return False
+    if not FORCE_PALLAS_ON_CPU:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
+    table = _load()["layers"]
+    key = layer_key(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps, pad)
+    return _nearest_batch(table, key) == "fused"
+
+
 def save_policy(winners: Optional[Dict[str, str]], meta: Dict,
-                winners_grad: Optional[Dict[str, str]] = None) -> None:
-    """Write the policy JSON.  Either table may be None, meaning "preserve
-    what the file already has" — the forward sweep and the grad sweep run at
-    different times and must not clobber each other's measurements."""
+                winners_grad: Optional[Dict[str, str]] = None,
+                layers: Optional[Dict[str, str]] = None) -> None:
+    """Write the policy JSON.  Any table may be None, meaning "preserve
+    what the file already has" — the forward sweep, the grad sweep, and the
+    layer-fusion sweep run at different times and must not clobber each
+    other's measurements."""
     current = _load()
     doc = {
         "meta": meta,
@@ -143,8 +172,11 @@ def save_policy(winners: Optional[Dict[str, str]], meta: Dict,
                         else current["winners"]),
         "winners_grad": dict(winners_grad if winners_grad is not None
                              else current["winners_grad"]),
+        "layers": dict(layers if layers is not None
+                       else current.get("layers", {})),
     }
     with open(_POLICY_FILE, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     global _policy
-    _policy = {"winners": doc["winners"], "winners_grad": doc["winners_grad"]}
+    _policy = {"winners": doc["winners"], "winners_grad": doc["winners_grad"],
+               "layers": doc["layers"]}
