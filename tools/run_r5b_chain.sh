@@ -70,8 +70,16 @@ if [ "$L" -ge 7200 ]; then
     || echo "WARNING: policy sweep failed" >&2
   commit_one "Forward flrelu policy sweep incl. hfuse ($CFGS)" \
     image_compression_2_tpu/ops/flrelu_policy.json runs/r5_policy_fwd.txt
+  # whole-layer fusion sweep (conv+flrelu in one pallas_call): fills the
+  # policy's `layers` table that SynthesisLayer consults on the forward path
+  timeout 2400 python tools/bench_layerfuse.py --emit-policy \
+    --policy-configs "$CFGS" 2>&1 | tee runs/r5_policy_layerfuse.txt \
+    || echo "WARNING: layerfuse sweep failed" >&2
+  commit_one "Whole-layer fusion policy sweep ($CFGS)" \
+    image_compression_2_tpu/ops/flrelu_policy.json runs/r5_policy_layerfuse.txt
   timeout 1200 python bench.py 2>&1 | tee runs/r5_bench_after_policy.txt || true
-  commit_one "Bench after round-5 policy sweep" runs/r5_bench_after_policy.txt
+  commit_one "Bench after round-5 policy sweeps (flrelu modes + layer fusion)" \
+    runs/r5_bench_after_policy.txt
 fi
 
 echo "== [2] real-photo demo: fine-tune + refined compare (left: $(left)s) =="
