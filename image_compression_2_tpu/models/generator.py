@@ -277,17 +277,21 @@ class SynthesisLayer(nn.Module):
             args = (B, H, W, spec.in_channels, spec.out_channels,
                     spec.conv_kernel, spec.up_factor, spec.down_factor,
                     spec.up_taps, spec.down_taps, spec.padding)
-            if (
-                _mesh_axis_sizes() == (1, 1)
-                and layer_fused(*args)
-                and fits_layerfuse(*args, dtype=dtype)
-            ):
+            # the policy records the exact winning channel tile; -1 = legacy
+            # bare entry (let the plan's estimate pick); the sweep runs in
+            # the deployment dtype (bf16), so other dtypes stay unfused
+            ct = (layer_fused(*args)
+                  if (_mesh_axis_sizes() == (1, 1)
+                      and dtype == jnp.bfloat16) else None)
+            if ct is not None and fits_layerfuse(
+                    *args, dtype=dtype, ct=None if ct == -1 else ct):
                 x = fused_synthesis_layer(
                     x.astype(dtype), weight, styles, bias,
                     up_filter, down_filter,
                     up=spec.up_factor, down=spec.down_factor,
                     padding=spec.padding, input_gain=input_gain,
                     gain=gain, slope=slope, clamp=self.cfg.conv_clamp,
+                    ct=None if ct == -1 else ct,
                 )
                 assert x.shape[1] == spec.out_size and x.shape[3] == spec.out_channels
                 return x

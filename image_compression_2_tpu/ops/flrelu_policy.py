@@ -141,21 +141,33 @@ def layer_key(B: int, H: int, W: int, Cin: int, Cout: int, k: int,
 
 
 def layer_fused(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps,
-                pad) -> bool:
-    """True when the measured whole-layer fused kernel (`pallas_layerfuse`)
-    wins this layer's geometry.  Forward table only: training (set_train)
+                pad) -> Optional[int]:
+    """Measured channel tile (Ct) when the whole-layer fused kernel
+    (`pallas_layerfuse`) wins this layer's geometry, else None.  Table
+    values are 'unfused' or 'fused:ct<N>' — the sweep times every legal
+    tile and records the winner's exact tile, which the runtime reuses
+    (the VMEM estimate is conservative; compilation at sweep time is the
+    real feasibility proof).  Forward table only: training (set_train)
     keeps the unfused path, and non-TPU backends cannot compile the kernel.
     Falls back to the nearest measured batch like :func:`lookup`."""
     if _TRAIN:
-        return False
+        return None
     if not FORCE_PALLAS_ON_CPU:
         import jax
 
         if jax.default_backend() == "cpu":
-            return False
+            return None
     table = _load()["layers"]
     key = layer_key(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps, pad)
-    return _nearest_batch(table, key) == "fused"
+    val = _nearest_batch(table, key)
+    if val is None or not val.startswith("fused"):
+        return None
+    if ":ct" in val:
+        try:
+            return int(val.split(":ct", 1)[1])
+        except ValueError:
+            return None
+    return -1  # legacy bare 'fused': let the plan pick the tile
 
 
 def save_policy(winners: Optional[Dict[str, str]], meta: Dict,

@@ -78,15 +78,28 @@ class LayerfusePlan:
 
 
 def plan_layerfuse(B: int, H: int, W: int, Cin: int, Cout: int, k: int,
-                   H2: int, W2: int, Wo: int, dtype) -> Optional[LayerfusePlan]:
-    """Largest Ct whose working set fits VMEM, or None."""
+                   H2: int, W2: int, Wo: int, dtype,
+                   ct: Optional[int] = None) -> Optional[LayerfusePlan]:
+    """Largest Ct whose working set fits VMEM, or None.
+
+    ``ct``: exact channel tile, bypassing the budget estimate — used when a
+    policy entry records the tile the sweep already compiled and timed on
+    this hardware (the estimate is conservative: it sums stage buffers whose
+    lifetimes don't overlap, so the compiler regularly fits tiles it
+    rejects)."""
     isz = jnp.dtype(dtype).itemsize
     Hp, Wp = H + 2 * (k - 1), W + 2 * (k - 1)
     Hc, Wc = H + k - 1, W + k - 1
-    for Ct in (128, 64, 32):
-        ct = min(Cout, Ct)
+    if ct is not None:
         if Cout % ct:
+            return None
+        return LayerfusePlan(B, Hp, Wp, Hc, Wc, H2, W2, Wo,
+                             Cin, Cout, k, ct, jnp.dtype(dtype).name)
+    for Ct in (128, 64, 32):
+        ct_ = min(Cout, Ct)
+        if Cout % ct_:
             continue
+        ct = ct_
         est = (
             2 * Hp * Wp * Cin * isz          # resident input block (+ spare)
             + Hp * Wp * Cin * isz            # style-scaled copy
@@ -289,15 +302,17 @@ def fused_synthesis_layer(
     gain: float = float(np.sqrt(2.0)),
     slope: float = 0.2,
     clamp: Optional[float] = 256.0,
+    ct: Optional[int] = None,
 ) -> jnp.ndarray:
     """One fused synthesis layer: modulated conv ('full' padding) + demod +
     bias + filtered leaky-ReLU resampling.  Semantics identical to
-    ``modulated_conv2d(padding=k-1)`` followed by ``filtered_lrelu``."""
+    ``modulated_conv2d(padding=k-1)`` followed by ``filtered_lrelu``.
+    ``ct``: exact channel tile from a measured policy entry."""
     plan = fits_layerfuse(x.shape[0], x.shape[1], x.shape[2],
                           weight.shape[2], weight.shape[3], weight.shape[0],
                           up, down,
                           len(np.asarray(fu)), len(np.asarray(fd)),
-                          padding, dtype=x.dtype, return_plan=True)
+                          padding, dtype=x.dtype, return_plan=True, ct=ct)
     if plan is None:
         raise ValueError("no legal layerfuse block for this geometry")
     kw = dict(gain=float(gain), slope=float(slope),
@@ -333,7 +348,8 @@ def _pad_tuple(padding):
 
 
 def fits_layerfuse(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps,
-                   padding, dtype=jnp.bfloat16, return_plan: bool = False):
+                   padding, dtype=jnp.bfloat16, return_plan: bool = False,
+                   ct: Optional[int] = None):
     """Cheap feasibility probe (mirrors fused_synthesis_layer's sizes)."""
     from .upfirdn2d import _parse_padding
 
@@ -344,5 +360,5 @@ def fits_layerfuse(B, H, W, Cin, Cout, k, up, down, fu_taps, fd_taps,
     Wo = (W2 - fd_taps) // down + 1
     if H2 <= 0 or W2 <= 0 or Wo <= 0:
         return None if return_plan else False
-    plan = plan_layerfuse(B, H, W, Cin, Cout, k, H2, W2, Wo, dtype)
+    plan = plan_layerfuse(B, H, W, Cin, Cout, k, H2, W2, Wo, dtype, ct=ct)
     return plan if return_plan else plan is not None

@@ -36,8 +36,8 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows):
     cfg = GeneratorConfig(img_resolution=res)
     dtype = jnp.dtype(dtype_name)
     print(f"\n== res={res} batch={batch} dtype={dtype_name} iters={iters}")
-    print(f"{'layer':16s} {'in':>18s} {'unfused':>10s} {'fused':>10s}"
-          f"   winner")
+    print(f"{'layer':16s} {'in':>18s} {'unfused':>10s}"
+          f" {'f:ct128':>10s} {'f:ct64':>10s} {'f:ct32':>10s}   winner")
 
     tot_u = tot_f = 0.0
     for spec in cfg.layer_specs:
@@ -72,20 +72,30 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows):
                                   down=spec.down_factor, padding=spec.padding,
                                   clamp=cfg.conv_clamp, mode="auto")
 
-        fusable = (np.ndim(fu) == 1 and np.ndim(fd) == 1 and fits_layerfuse(
-            batch, H, H, spec.in_channels, spec.out_channels, k,
-            spec.up_factor, spec.down_factor, spec.up_taps, spec.down_taps,
-            spec.padding, dtype=dtype))
+        # try every legal channel tile: the plan's VMEM estimate is
+        # conservative (it sums non-overlapping stage buffers), so the real
+        # feasibility proof is compilation, and the fastest tile varies
+        geom = (batch, H, H, spec.in_channels, spec.out_channels, k,
+                spec.up_factor, spec.down_factor, spec.up_taps,
+                spec.down_taps, spec.padding)
+        cts = []
+        if np.ndim(fu) == 1 and np.ndim(fd) == 1:
+            cts = [c for c in (128, 64, 32)
+                   if c <= spec.out_channels and spec.out_channels % c == 0
+                   and fits_layerfuse(*geom, dtype=dtype, ct=c)]
 
-        def fused(x, w, s, b):
-            return fused_synthesis_layer(
-                x, w, s, b, fu, fd, up=spec.up_factor, down=spec.down_factor,
-                padding=spec.padding, input_gain=ig, clamp=cfg.conv_clamp)
+        def make_fused(ct):
+            def fused(x, w, s, b):
+                return fused_synthesis_layer(
+                    x, w, s, b, fu, fd, up=spec.up_factor,
+                    down=spec.down_factor, padding=spec.padding,
+                    input_gain=ig, clamp=cfg.conv_clamp, ct=ct)
+            return fused
 
         times = {}
         ref_out = None
         for name, fn in (("unfused", unfused),
-                         *((("fused", fused),) if fusable else ())):
+                         *(((f"fused:ct{c}", make_fused(c)),) for c in cts)):
             jfn = jax.jit(fn)
             try:
                 out = np.asarray(jfn(x, w, s, b), np.float32)
@@ -124,11 +134,13 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows):
             dt = (time.perf_counter() - t0) / iters * 1000
             times[name] = dt
             row += f" {dt:9.2f}ms"
-        if not fusable:
+        if not cts:
             row += f" {'n/a':>10s}"
         if times:
+            fused_times = [t for n, t in times.items() if n != "unfused"]
             tot_u += times.get("unfused", 0.0)
-            tot_f += times.get("fused", times.get("unfused", 0.0))
+            tot_f += min(fused_times) if fused_times else times.get(
+                "unfused", 0.0)
             win = min(times, key=times.get)
             row += f"   {win}"
             layers_table[key] = win
@@ -183,7 +195,7 @@ def main():
             meta = old_meta
         fp.save_policy(None, meta, layers=merged)
         print(f"\nwrote {len(layers_table)} layer entries "
-              f"({sum(1 for v in layers_table.values() if v == 'fused')} "
+              f"({sum(1 for v in layers_table.values() if v.startswith('fused'))} "
               f"fused) -> {fp._POLICY_FILE}")
 
 
