@@ -209,6 +209,12 @@ if [ "$L" -ge 4200 ]; then
     image_compression_2_tpu/ops/flrelu_policy.json runs/r5_policy_grad.txt
 fi
 L=$(left)
+if [ "$L" -ge 2400 ]; then
+  timeout 1500 python bench.py --res 1024 --batch 2 2>&1 \
+    | tee runs/r5_bench_1024.txt || true
+  commit_one "Flagship 1024 bench (round-5 policy)" runs/r5_bench_1024.txt
+fi
+L=$(left)
 if [ "$L" -ge 900 ]; then
   timeout $(( L - 300 )) python bench.py 2>&1 | tee runs/r5_bench_final.txt || true
   commit_one "Final round-5 bench" runs/r5_bench_final.txt
