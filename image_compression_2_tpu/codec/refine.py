@@ -162,18 +162,32 @@ def refine_latents(
     fn = _cached_refiner(generator, int(steps), float(lr), lv, affine)
     target = jnp.asarray(target)
     n = w0.shape[0]
-    if affine:
-        assert levels is not None, "affine refinement requires levels"
-        lo = jnp.asarray(w_range[0], jnp.float32)
-        hi = jnp.asarray(w_range[1], jnp.float32)
+    # The refinement loop is a fwd+bwd workload: trace it under the policy's
+    # TRAINING tables so filtered_lrelu picks the measured fwd+bwd winners
+    # and whole-layer fusion stays off (its VJP recomputes the unfused layer,
+    # which would make every step pay fused-fwd ON TOP of the unfused
+    # fwd+bwd).  Mode selection happens at Python trace time, so flipping
+    # the flag around the calls (tracing occurs inside the first one) is
+    # sufficient; compiled executables are unaffected.
+    from ..ops import flrelu_policy
+
+    prev_train = flrelu_policy._TRAIN
+    flrelu_policy.set_train(True)
+    try:
+        if affine:
+            assert levels is not None, "affine refinement requires levels"
+            lo = jnp.asarray(w_range[0], jnp.float32)
+            hi = jnp.asarray(w_range[1], jnp.float32)
+            if chunk is None or n <= chunk:
+                return fn(gen_vars, w0, target, lo, hi)
+            outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk],
+                       lo[i:i + chunk], hi[i:i + chunk])
+                    for i in range(0, n, chunk)]
+            return jnp.concatenate(outs, axis=0)
         if chunk is None or n <= chunk:
-            return fn(gen_vars, w0, target, lo, hi)
-        outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk],
-                   lo[i:i + chunk], hi[i:i + chunk])
+            return fn(gen_vars, w0, target)
+        outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk])
                 for i in range(0, n, chunk)]
         return jnp.concatenate(outs, axis=0)
-    if chunk is None or n <= chunk:
-        return fn(gen_vars, w0, target)
-    outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk])
-            for i in range(0, n, chunk)]
-    return jnp.concatenate(outs, axis=0)
+    finally:
+        flrelu_policy.set_train(prev_train)
