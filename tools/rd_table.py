@@ -331,19 +331,6 @@ def main():
             name = f"uniform-{bits}bit+refine{args.refine}"
             rows[name] = metrics(x_eval, chunked_map(uni.decompress, w), comp)
             print(f"{name}: {rows[name]}", flush=True)
-        # quantization-aware variant at 4 bits (straight-through rounding in
-        # the refinement loss) — matters once distortion responds to rate
-        w_qa = chunked_map(
-            lambda xc: uni.refine(uni.encode(xc, deterministic=True), xc,
-                                  steps=args.refine, lr=args.refine_lr,
-                                  quantization_bits=4),
-            x_eval)
-        w = quantize_uniform(jnp.asarray(w_qa), 4)
-        comp = w.size / args.n_eval * 4 / 8
-        name = f"uniform-4bit+refine{args.refine}-qa"
-        rows[name] = metrics(x_eval, chunked_map(uni.decompress, w), comp)
-        print(f"{name}: {rows[name]}", flush=True)
-
     if args.uniform_cabac:
         # CABAC entropy layer over the SAME uniform indices (beyond-reference
         # pairing, codec/uniform_cabac.py): identical distortion to the
@@ -366,7 +353,24 @@ def main():
                 return uc.decompress_entropy(payload, meta), meta["comp_size"]
             return fn
 
-        for bits in (4, 8):
+        # Per-layer allocation THROUGH the entropy coder (round-4 missing #3:
+        # the guide's bit allocation could not ride the best-rate layer).
+        # Runs before the refined lanes — it is cheap (no refinement) and a
+        # timeout kill must not lose it.
+        uc_pl = UniformCABACCompressor(
+            enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
+            quantization_bits=alloc)
+        if args.n_calib:
+            uc_pl.calibrate(x_calib)
+        recon, comp = chunked_rt(uc_rt2(uc_pl), x_eval)
+        name = "per-layer-alloc+cabac" + ("+priors" if args.n_calib else "")
+        rows[name] = metrics(x_eval, recon, comp)
+        print(f"{name}: {rows[name]}", flush=True)
+
+        # 8-bit first: the refined 8-bit CABAC row is the table's headline
+        # composition (refinement surviving entropy coding) — a timeout kill
+        # cuts the 4-bit lane, not it.
+        for bits in (8, 4):
             uc = UniformCABACCompressor(
                 enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
                 quantization_bits=bits)
@@ -399,16 +403,22 @@ def main():
                     rows[name]["priors_used"] = uc_lm["use_priors"]
                     print(f"{name}: {rows[name]}", flush=True)
 
-        # Per-layer allocation THROUGH the entropy coder (round-4 missing #3:
-        # the guide's bit allocation could not ride the best-rate layer).
-        uc_pl = UniformCABACCompressor(
-            enc_cfg, gen_cfg, enc1, gen_vars, precision=precision,
-            quantization_bits=alloc)
-        if args.n_calib:
-            uc_pl.calibrate(x_calib)
-        recon, comp = chunked_rt(uc_rt2(uc_pl), x_eval)
-        name = "per-layer-alloc+cabac" + ("+priors" if args.n_calib else "")
-        rows[name] = metrics(x_eval, recon, comp)
+    if args.refine:
+        # quantization-aware variant at 4 bits (straight-through rounding in
+        # the refinement loss) — matters once distortion responds to rate.
+        # Deferred behind the CABAC lanes: it is a whole extra refinement
+        # sweep and no headline criterion depends on it.
+        from image_compression_2_tpu.quant.uniform import quantize_uniform
+
+        w_qa = chunked_map(
+            lambda xc: uni.refine(uni.encode(xc, deterministic=True), xc,
+                                  steps=args.refine, lr=args.refine_lr,
+                                  quantization_bits=4),
+            x_eval)
+        w = quantize_uniform(jnp.asarray(w_qa), 4)
+        comp = w.size / args.n_eval * 4 / 8
+        name = f"uniform-4bit+refine{args.refine}-qa"
+        rows[name] = metrics(x_eval, chunked_map(uni.decompress, w), comp)
         print(f"{name}: {rows[name]}", flush=True)
 
     if args.alloc_sweep:
