@@ -154,6 +154,40 @@ if [ -n "$STAGE1" ] && [ "$RDTMO" -ge 1200 ]; then
 fi
 
 echo "== [5] slack phases + final bench (left: $(left)s) =="
+# 1024 flagship lane first when real slack remains: retrain (the restart
+# wiped the trained checkpoint) + a small RD_1024 with coded/refined rows.
+L=$(left)
+if [ "$L" -ge 8100 ]; then
+  timeout 2100 python -m image_compression_2_tpu.cli train \
+    --output runs/r5stage1024 --resolution 1024 --generator-resolution 1024 \
+    --max-resolution 1024 --batch-size 2 --epochs 6 --train-samples 256 \
+    --truncation-psi 0.7 --w-weight 0.1 --lr-decay --bf16 --remat \
+    --val-samples 8 --pool-grids 1,2,4 --hidden-dims 512,512,1024 \
+    --save-every 2 --seed 42 2>&1 | tail -5 \
+    || echo "WARNING: 1024 stage-1 incomplete" >&2
+  if [ ! -e runs/r5stage1024/hvae_encoder_final.ic2t ] \
+     && [ -e runs/r5stage1024/hvae_encoder_best.ic2t ]; then
+    cp runs/r5stage1024/hvae_encoder_best.ic2t \
+       runs/r5stage1024/hvae_encoder_final.ic2t
+  fi
+  commit_one "1024 flagship stage-1 retrain (round-5: restart wiped the trained checkpoint)" \
+    runs/r5stage1024/metrics.jsonl runs/r5stage1024/loss_curves.svg
+  S1024=$(newest_ckpt runs/r5stage1024 hvae_encoder)
+  L=$(left)
+  if [ -n "$S1024" ] && [ "$L" -ge 4800 ]; then
+    if [ "$L" -ge 6600 ]; then NE1024=12; else NE1024=8; fi
+    T1024=$(( L - 2400 ))
+    [ "$T1024" -gt 4200 ] && T1024=4200
+    timeout "$T1024" python tools/rd_table.py \
+      --stage1 "$S1024" --res 1024 --truncation 0.7 \
+      --n-eval "$NE1024" --n-calib 16 --chunk 4 \
+      --refine 100 --uniform-cabac \
+      --out RD_1024.md 2>&1 | tee runs/r5_rd1024_log.txt \
+      || echo "WARNING: RD_1024 exited non-zero (rows are flushed)" >&2
+    commit_one "RD_1024 at $NE1024 held-out samples with coded+refined rows" \
+      RD_1024.md RD_1024.json runs/r5_rd1024_log.txt
+  fi
+fi
 L=$(left)
 if [ "$L" -ge 5100 ]; then
   timeout 2400 python tools/bench_flrelu_layers.py --grad \
