@@ -303,6 +303,11 @@ def cmd_compare(args):
         ("JPEG", "jpeg-q90", {"quality": 90}),
         ("JPEG2000", "jpeg2000-20:1",
          {"quality_mode": "rates", "quality_layers": [20]}),
+        # rate-matched to the 8-bit HVAE rows: PIL's rate is vs uint8 pixels,
+        # the table's ratio is vs fp32, so PIL rate 24 = 96:1 in table units
+        # — the equal-ratio classical comparison, not just high-rate points
+        ("JPEG2000", "jpeg2000-96:1",
+         {"quality_mode": "rates", "quality_layers": [24]}),
         ("WEBP", "webp-q90", {"quality": 90}),
     ]:
         buf = io.BytesIO()
