@@ -230,14 +230,15 @@ def cmd_compress(args):
     if method in ("cabac", "uniform-cabac"):
         orig, comp, ratio = codec.save_compressed(
             x, args.output, use_cabac=not args.no_cabac,
-            refine_steps=args.refine_steps)
+            refine_steps=args.refine_steps, refine_lr=args.refine_lr)
     elif method == "gumbel":
         orig, comp, ratio = codec.save_compressed(
-            x, args.output, refine_steps=args.refine_steps)
+            x, args.output, refine_steps=args.refine_steps,
+            refine_lr=args.refine_lr)
     else:
         orig, comp, ratio = codec.save_compressed(
             x, args.output, quantization_bits=_parse_bits(args.bits or "8"),
-            refine_steps=args.refine_steps)
+            refine_steps=args.refine_steps, refine_lr=args.refine_lr)
     dt = time.time() - t0
     print(f"compressed {args.image} -> {args.output}")
     print(f"  original: {orig / 1024:.2f} KB   compressed: {comp / 1024:.2f} KB"
@@ -328,7 +329,8 @@ def cmd_compare(args):
         add_row(name, len(payload), recon)
     if args.refine_steps:
         payload, meta = codec.compress_entropy(
-            x, use_cabac=True, refine_steps=args.refine_steps)
+            x, use_cabac=True, refine_steps=args.refine_steps,
+            refine_lr=args.refine_lr)
         add_row(f"hvae-cabac+refine{args.refine_steps}", meta["comp_size"],
                 codec.decompress_entropy(payload, meta))
 
@@ -360,10 +362,12 @@ def cmd_compare(args):
         n = args.refine_steps
         f = os.path.join(args.output, "uniform_refined.npz")
         _, comp, _ = uni.save_compressed(x, f, quantization_bits=args.bits,
-                                         refine_steps=n)
+                                         refine_steps=n,
+                                         refine_lr=args.refine_lr)
         recon, _ = uni.load_compressed(f)
         add_row(f"hvae-uniform-{args.bits}bit+refine{n}", int(comp), recon)
-        payload, meta = ucab.compress_entropy(x, refine_steps=n)
+        payload, meta = ucab.compress_entropy(x, refine_steps=n,
+                                              refine_lr=args.refine_lr)
         add_row(f"hvae-uniform-{args.bits}bit-cabac+refine{n}",
                 meta["comp_size"], ucab.decompress_entropy(payload, meta))
 
@@ -593,6 +597,9 @@ def main(argv=None):
                    help="encode-time inversion refinement steps on W+ "
                         "(all methods; slower encode, better quality at "
                         "the same rate)")
+    p.add_argument("--refine-lr", type=float, default=0.02,
+                   help="Adam lr for --refine-steps (probe with "
+                        "tools/probe_refine_lr.py)")
     p.add_argument("--bits", type=str, default=None,
                    help="bit depth (default 8), or a comma list for "
                         "per-W-layer allocation (e.g. 12,12,10,10,8,8,8,8,"
@@ -625,6 +632,9 @@ def main(argv=None):
     p.add_argument("--refine-steps", type=int, default=0,
                    help="adds encode-time-refined HVAE rows (gumbel+cabac, "
                         "uniform float, uniform+cabac with affine range)")
+    p.add_argument("--refine-lr", type=float, default=0.02,
+                   help="Adam lr for the refinement rows (probe with "
+                        "tools/probe_refine_lr.py)")
     p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("generate", help="sample images from the generator")

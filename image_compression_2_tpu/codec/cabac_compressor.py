@@ -253,6 +253,7 @@ class EntropyCodecBase:
     def save_compressed(  # type: ignore[override]
         self, x, filename: str, use_cabac: bool = True,
         embed_priors: bool = False, refine_steps: int = 0,
+        refine_lr: float = 0.02,
     ) -> Tuple[float, int, float]:
         """``embed_priors=True`` writes a SELF-CONTAINED container (v3): the
         zlib-compressed prior table rides inside the file, so a priors-coded
@@ -260,7 +261,8 @@ class EntropyCodecBase:
         bundle.  Default stays the lean external-bundle mode (the table is
         ~100x the payload for single images)."""
         payload, metadata = self.compress_entropy(
-            x, use_cabac=use_cabac, refine_steps=refine_steps)
+            x, use_cabac=use_cabac, refine_steps=refine_steps,
+            refine_lr=refine_lr)
         blob = None
         if embed_priors and metadata.get("use_priors"):
             blob = zlib.compress(

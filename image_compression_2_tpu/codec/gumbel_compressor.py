@@ -185,9 +185,10 @@ class GumbelCompressor:
         total = self.usage.sum()
         return self.usage / total if total > 0 else self.usage.astype(np.float64)
 
-    def save_compressed(self, x, filename: str,
-                        refine_steps: int = 0) -> Tuple[int, float, float]:
-        codes = np.asarray(self.compress(x, refine_steps=refine_steps),
+    def save_compressed(self, x, filename: str, refine_steps: int = 0,
+                        refine_lr: float = 0.02) -> Tuple[int, float, float]:
+        codes = np.asarray(self.compress(x, refine_steps=refine_steps,
+                                         refine_lr=refine_lr),
                            np.int32)
         orig_size = int(np.prod(x.shape)) * 4
         comp_size = codes.size * (np.log2(self.n_embeddings) / 8)

@@ -81,6 +81,23 @@ if [ "$L" -ge 5400 ]; then
     runs/r5_bench_after_policy.txt
 fi
 
+echo "== [1.5] refine-lr probe (left: $(left)s) =="
+# Tiny-config CPU A/B showed constant 0.05 beating the 0.02 default by ~2 dB
+# at 100 steps; settle it on the real model so every refined row downstream
+# (demo + RD table) rides the winner.
+REFLR=0.02
+L=$(left)
+if [ -n "$STAGE1" ] && [ "$L" -ge 3600 ]; then
+  timeout 1500 python tools/probe_refine_lr.py --stage1 "$STAGE1" \
+    2>&1 | tee runs/r5_refine_lr.txt \
+    || echo "WARNING: refine-lr probe failed (keeping 0.02)" >&2
+  best=$(sed -n 's/^BEST_LR \([0-9.]*\)$/\1/p' runs/r5_refine_lr.txt | tail -1)
+  [ -n "$best" ] && REFLR="$best"
+  echo "refine lr for demo + RD: $REFLR"
+  commit_one "Refine-lr probe on the real 256 model (winner: $REFLR)" \
+    runs/r5_refine_lr.txt
+fi
+
 echo "== [2] real-photo demo: fine-tune + refined compare (left: $(left)s) =="
 L=$(left)
 if [ -n "$STAGE1" ] && [ "$L" -ge 3600 ]; then
@@ -97,7 +114,7 @@ if [ -n "$STAGE1" ] && [ "$L" -ge 3600 ]; then
     --checkpoint "$DEMO_CKPT" \
     --image runs/real_demo/grace_256.png \
     --output runs/real_demo/compare_r5 --resolution 256 \
-    --refine-steps 100 \
+    --refine-steps 100 --refine-lr "$REFLR" \
     2>&1 | tee runs/real_demo/compare_r5.txt \
     || echo "WARNING: real demo compare failed" >&2
   timeout 900 python -m image_compression_2_tpu.cli eval \
@@ -146,7 +163,7 @@ if [ -n "$STAGE1" ] && [ "$RDTMO" -ge 1200 ]; then
   timeout "$RDTMO" python tools/rd_table.py \
     --stage1 "$STAGE1" ${STAGE2:+--stage2 "$STAGE2"} \
     --res 256 --truncation 0.7 --n-eval "$NEVAL" --n-calib 48 --chunk 16 \
-    --refine 100 --uniform-cabac \
+    --refine 100 --refine-lr "$REFLR" --uniform-cabac \
     --out RD_TABLE.md 2>&1 | tee runs/r5_rd_log.txt \
     || echo "WARNING: RD table exited non-zero (rows are flushed)" >&2
   commit_one "RD table at $NEVAL held-out samples (round-5 lineage: affine refined+CABAC, auto priors, per-layer+cabac)" \
@@ -181,7 +198,7 @@ if [ "$L" -ge 8100 ]; then
     timeout "$T1024" python tools/rd_table.py \
       --stage1 "$S1024" --res 1024 --truncation 0.7 \
       --n-eval "$NE1024" --n-calib 16 --chunk 4 \
-      --refine 100 --uniform-cabac \
+      --refine 100 --refine-lr "$REFLR" --uniform-cabac \
       --out RD_1024.md 2>&1 | tee runs/r5_rd1024_log.txt \
       || echo "WARNING: RD_1024 exited non-zero (rows are flushed)" >&2
     commit_one "RD_1024 at $NE1024 held-out samples with coded+refined rows" \
