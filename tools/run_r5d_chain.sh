@@ -174,7 +174,50 @@ if [ -n "$STAGE1" ] && [ "$RDTMO" -ge 1200 ]; then
     RD_TABLE.md RD_TABLE.json runs/r5_rd_log.txt
 fi
 
-echo "== [5] slack phases + final bench (left: $(left)s) =="
+echo "== [5] slack: 1024 flagship lane (left: $(left)s) =="
+# VERDICT #5 wants RD_1024 uniform rows with CIs <= +-1 dB (>=32 samples).
+# The restart wiped the trained 1024 checkpoint, so: retrain (~2100 s), then
+# an UNREFINED coded table at 32 samples (cheap: no refinement backwards),
+# then opportunistically a small refined companion table.
+if [ "$(left)" -ge 5400 ]; then
+  timeout 2100 python -m image_compression_2_tpu.cli train \
+    --output runs/r5stage1024 --resolution 1024 --generator-resolution 1024 \
+    --max-resolution 1024 --batch-size 2 --epochs 6 --train-samples 256 \
+    --truncation-psi 0.7 --w-weight 0.1 --lr-decay --bf16 --remat \
+    --val-samples 8 --pool-grids 1,2,4 --hidden-dims 512,512,1024 \
+    --save-every 2 --seed 42 2>&1 | tail -5 \
+    || echo "WARNING: 1024 stage-1 incomplete" >&2
+  if [ ! -e runs/r5stage1024/hvae_encoder_final.ic2t ] \
+     && [ -e runs/r5stage1024/hvae_encoder_best.ic2t ]; then
+    cp runs/r5stage1024/hvae_encoder_best.ic2t \
+       runs/r5stage1024/hvae_encoder_final.ic2t
+  fi
+  commit_one "1024 flagship stage-1 retrain (round-5: restart wiped the trained checkpoint)" \
+    runs/r5stage1024/metrics.jsonl runs/r5stage1024/loss_curves.svg
+  S1024=$(newest_ckpt runs/r5stage1024 hvae_encoder)
+  if [ -n "$S1024" ] && [ "$(left)" -ge 3300 ]; then
+    timeout 1800 python tools/rd_table.py \
+      --stage1 "$S1024" --res 1024 --truncation 0.7 \
+      --n-eval 32 --n-calib 16 --chunk 4 --uniform-cabac \
+      --out RD_1024.md 2>&1 | tee runs/r5_rd1024_log.txt \
+      || echo "WARNING: RD_1024 exited non-zero (rows are flushed)" >&2
+    commit_one "RD_1024: 32 held-out samples, uniform + CABAC rows (unrefined lanes, tight CIs)" \
+      RD_1024.md RD_1024.json runs/r5_rd1024_log.txt
+  fi
+  L=$(left)
+  if [ -n "$S1024" ] && [ "$L" -ge 3000 ]; then
+    T1024=$(( L - 1500 ))
+    [ "$T1024" -gt 3600 ] && T1024=3600
+    timeout "$T1024" python tools/rd_table.py \
+      --stage1 "$S1024" --res 1024 --truncation 0.7 \
+      --n-eval 8 --n-calib 16 --chunk 4 --uniform-cabac \
+      --refine 100 --refine-lr "$REFLR" \
+      --out RD_1024_refined.md 2>&1 | tee runs/r5_rd1024r_log.txt \
+      || echo "WARNING: refined RD_1024 exited non-zero" >&2
+    commit_one "RD_1024 refined companion table (8 samples, refine+CABAC lanes)" \
+      RD_1024_refined.md RD_1024_refined.json runs/r5_rd1024r_log.txt
+  fi
+fi
 if [ "$(left)" -ge 5100 ]; then
   timeout 2400 python tools/bench_flrelu_layers.py --grad \
     --emit-policy --policy-configs 256:8 \
