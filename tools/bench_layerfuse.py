@@ -95,7 +95,7 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows):
         times = {}
         ref_out = None
         for name, fn in (("unfused", unfused),
-                         *(((f"fused:ct{c}", make_fused(c)),) for c in cts)):
+                         *((f"fused:ct{c}", make_fused(c)) for c in cts)):
             jfn = jax.jit(fn)
             try:
                 out = np.asarray(jfn(x, w, s, b), np.float32)
