@@ -22,7 +22,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def bench_config(res, batch, iters, dtype_name, layers_table, rows):
+def bench_config(res, batch, iters, dtype_name, layers_table, rows,
+                 flush=None):
     import jax
     import jax.numpy as jnp
 
@@ -145,6 +146,11 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows):
             row += f"   {win}"
             layers_table[key] = win
             rows.append((key, times))
+            if flush is not None:
+                # incremental: a timeout kill keeps every finished layer
+                # (the 2026-08-19 fwd sweep lost 40 min of measurements to
+                # an end-only write)
+                flush()
         print(row, flush=True)
     print(f"{'TOTAL':16s} {'':>18s} {tot_u:9.2f}ms {tot_f:9.2f}ms"
           f"   (fused column falls back to unfused where n/a)")
@@ -167,14 +173,15 @@ def main():
                [tuple(map(int, c.split(":")))
                 for c in args.policy_configs.split(",")])
 
+    from image_compression_2_tpu.ops import flrelu_policy as fp
+    from image_compression_2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     layers_table = {}
     rows = []
-    for res, batch in configs:
-        bench_config(res, batch, args.iters, args.dtype, layers_table, rows)
 
-    if args.emit_policy and layers_table:
-        from image_compression_2_tpu.ops import flrelu_policy as fp
-
+    def write_policy():
         current = fp._load()
         merged = dict(current.get("layers", {}))
         merged.update(layers_table)
@@ -194,6 +201,14 @@ def main():
             old_meta.update(meta)
             meta = old_meta
         fp.save_policy(None, meta, layers=merged)
+
+    flush = write_policy if args.emit_policy else None
+    for res, batch in configs:
+        bench_config(res, batch, args.iters, args.dtype, layers_table, rows,
+                     flush=flush)
+
+    if args.emit_policy and layers_table:
+        write_policy()
         print(f"\nwrote {len(layers_table)} layer entries "
               f"({sum(1 for v in layers_table.values() if v.startswith('fused'))} "
               f"fused) -> {fp._POLICY_FILE}")
