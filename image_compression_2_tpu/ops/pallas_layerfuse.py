@@ -90,16 +90,22 @@ def plan_layerfuse(B: int, H: int, W: int, Cin: int, Cout: int, k: int,
     isz = jnp.dtype(dtype).itemsize
     Hp, Wp = H + 2 * (k - 1), W + 2 * (k - 1)
     Hc, Wc = H + k - 1, W + k - 1
+
+    # Mosaic tiling: the weight/bias/demod blocks put Ct in the lane dim, so
+    # a block only lowers when Ct is a multiple of 128 or covers Cout whole
+    # (the 2026-08-19 on-chip sweep rejected every 64/32 tile on exactly
+    # this rule).
+    def legal(c):
+        return c % 128 == 0 or c == Cout
+
     if ct is not None:
-        if Cout % ct:
+        if Cout % ct or not legal(ct):
             return None
         return LayerfusePlan(B, Hp, Wp, Hc, Wc, H2, W2, Wo,
                              Cin, Cout, k, ct, jnp.dtype(dtype).name)
-    for Ct in (128, 64, 32):
-        ct_ = min(Cout, Ct)
-        if Cout % ct_:
-            continue
-        ct = ct_
+    for ct in sorted({c for c in (128, 256, Cout)
+                      if c <= Cout and Cout % c == 0 and legal(c)},
+                     reverse=True):
         est = (
             2 * Hp * Wp * Cin * isz          # resident input block (+ spare)
             + Hp * Wp * Cin * isz            # style-scaled copy
@@ -121,7 +127,10 @@ def _kernel(xp_ref, w_ref, s_ref, d_ref, bias_ref, ah_ref, au_ref, ad_ref,
             o_ref, *, plan: LayerfusePlan, slope, gain, clamp):
     dt = xp_ref.dtype
     # style-modulate the padded input block: [Hp, Wp, Cin]
-    xm = xp_ref[0] * s_ref[0].astype(dt)[None, None, :]
+    # (styles/demod ride a [B, 1, C] layout: a [1, 1, C] block keeps the
+    # sublane dim equal to the array dim, which Mosaic always accepts —
+    # a [1, C] row block of a [B, C] array does not lower)
+    xm = xp_ref[0] * s_ref[0, 0].astype(dt)[None, None, :]
     # 'full' 3x3 conv as k*k shifted MXU contractions over C_in
     acc = jnp.zeros((plan.Hc, plan.Wc, plan.Ct), jnp.float32)
     for dy in range(plan.k):
@@ -132,7 +141,7 @@ def _kernel(xp_ref, w_ref, s_ref, d_ref, bias_ref, ah_ref, au_ref, ad_ref,
                 preferred_element_type=jnp.float32)
     # demodulate (per-sample per-out-channel) and add the layer bias in the
     # compute dtype — the same cast points as the unfused path
-    t0 = (acc * d_ref[0][None, None, :]).astype(dt) + bias_ref[0].astype(dt)
+    t0 = (acc * d_ref[0, 0][None, None, :]).astype(dt) + bias_ref[0].astype(dt)
     # H-up: contract t0's page dim.  [H2, Wc, Ct]
     t1 = jax.lax.dot_general(
         ah_ref[:], t0, (((1,), (0,)), ((), ())),
@@ -167,9 +176,9 @@ def _build_call(plan: LayerfusePlan, slope: float, gain: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p.k, p.k, p.Cin, p.Ct), lambda b, c: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p.Cin), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, p.Cin), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p.Ct), lambda b, c: (b, c),
+            pl.BlockSpec((1, 1, p.Ct), lambda b, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p.Ct), lambda b, c: (0, c),
                          memory_space=pltpu.VMEM),
@@ -245,7 +254,9 @@ def _layerfuse(x, weight, styles, bias, input_gain,
     xp = jnp.pad(x, ((0, 0), (pk, pk), (pk, pk), (0, 0)))
     out = _build_call(plan, flrelu_kw["slope"], flrelu_kw["gain"],
                       flrelu_kw["clamp"])(
-        xp, w.astype(dt), in_scale, dcoefs,
+        xp, w.astype(dt),
+        in_scale.reshape(in_scale.shape[0], 1, -1),
+        dcoefs.reshape(dcoefs.shape[0], 1, -1),
         bias.astype(jnp.float32).reshape(1, -1),
         jnp.asarray(A_h_up, dt), jnp.asarray(A_w_up.T, dt),
         jnp.asarray(A_w_dn.T, dt))

@@ -55,12 +55,23 @@ def _inputs(B=2, H=12, W=12, Cin=24, Cout=32, k=3, seed=0):
 
 
 def test_plan_feasibility():
-    # the 256-config small layers fit at b8 (bf16, the bench dtype)
+    # the explicit-ct path (what the measured policy + sweep use) accepts
+    # Mosaic-legal tiles: ct % 128 == 0 or ct == Cout
     assert lf.fits_layerfuse(8, 36, 36, 512, 512, 3, 2, 2, 12, 12,
-                             (9, 8, 9, 8))
+                             (9, 8, 9, 8), ct=128)
     assert lf.fits_layerfuse(8, 36, 36, 512, 512, 3, 4, 2, 24, 12,
-                             (-6, -9, -6, -9))
-    # a plane too large for any block has no plan
+                             (-6, -9, -6, -9), ct=128)
+    # ...and rejects tiles Mosaic cannot lower (lane dim < 128 and != Cout):
+    # the 2026-08-19 on-chip sweep failed every 64/32 tile on this rule
+    assert not lf.fits_layerfuse(8, 36, 36, 512, 512, 3, 2, 2, 12, 12,
+                                 (9, 8, 9, 8), ct=64)
+    assert not lf.fits_layerfuse(8, 36, 36, 512, 512, 3, 2, 2, 12, 12,
+                                 (9, 8, 9, 8), ct=32)
+    # full-Cout tiles are legal even when not a multiple of 128
+    assert lf.fits_layerfuse(2, 12, 12, 24, 24, 3, 2, 2, 12, 12,
+                             (9, 8, 9, 8), ct=24)
+    # a plane too large for any block has no plan (auto path, conservative
+    # VMEM estimate)
     assert not lf.fits_layerfuse(8, 1024, 1024, 512, 512, 3, 2, 2, 12, 12,
                                  (9, 8, 9, 8))
 

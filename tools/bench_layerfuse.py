@@ -38,7 +38,7 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows,
     dtype = jnp.dtype(dtype_name)
     print(f"\n== res={res} batch={batch} dtype={dtype_name} iters={iters}")
     print(f"{'layer':16s} {'in':>18s} {'unfused':>10s}"
-          f" {'f:ct128':>10s} {'f:ct64':>10s} {'f:ct32':>10s}   winner")
+          f"   fused:ct... (legal tiles: ct%128==0 or ct==Cout)   winner")
 
     tot_u = tot_f = 0.0
     for spec in cfg.layer_specs:
@@ -81,8 +81,11 @@ def bench_config(res, batch, iters, dtype_name, layers_table, rows,
                 spec.down_taps, spec.padding)
         cts = []
         if np.ndim(fu) == 1 and np.ndim(fd) == 1:
-            cts = [c for c in (128, 64, 32)
+            # Mosaic-legal tiles only: ct % 128 == 0 or ct == Cout (the
+            # weight/bias/demod blocks put Ct in the lane dim)
+            cts = [c for c in dict.fromkeys((128, 256, spec.out_channels))
                    if c <= spec.out_channels and spec.out_channels % c == 0
+                   and (c % 128 == 0 or c == spec.out_channels)
                    and fits_layerfuse(*geom, dtype=dtype, ct=c)]
 
         def make_fused(ct):
