@@ -194,6 +194,13 @@ def _build_call(plan: LayerfusePlan, slope: float, gain: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (p.B, p.H2, p.Cout, p.Wo), jnp.dtype(p.dtype)),
+        # the whole layer's intermediates live on the kernel stack: the
+        # default 16 MiB scoped-vmem limit rejects every production geometry
+        # (the 2026-08-19 sweep OOMed at 21-30 MiB) while v5e has 128 MiB of
+        # VMEM and this kernel is the only one resident — raise the cap and
+        # let Mosaic's real allocator arbitrate
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * p.B * (
                 p.k * p.k * p.Hc * p.Wc * p.Cin * p.Cout       # conv
