@@ -89,24 +89,32 @@ class EntropyCodecBase:
         from ..coding import build_prior
 
         all_codes = []
+        n_sym = self.n_symbols
         n = images.shape[0]
         for i in range(0, n, batch_size):
-            codes, _ = self._latent_codes(
+            codes, em = self._latent_codes(
                 images[i:i + batch_size], refine_steps=refine_steps,
                 refine_lr=refine_lr)
+            # the table's alphabet must match the streams it will model
+            # (e.g. the fixed-step refined grid widens it)
+            n_sym = int(em.get("_n_symbols", self.n_symbols))
             all_codes.append(codes)
-        self.priors = build_prior(np.concatenate(all_codes), self.n_symbols)
+        self.priors = build_prior(np.concatenate(all_codes), n_sym)
         return self.priors
 
     def save_priors(self, filename: str) -> None:
         assert self.priors is not None, "calibrate() first"
         np.savez_compressed(filename, priors=self.priors,
-                            n_embeddings=self.n_symbols)
+                            n_embeddings=self.priors.shape[-1])
 
     def load_priors(self, filename: str) -> None:
         data = np.load(filename)
-        assert int(data["n_embeddings"]) == self.n_symbols
+        n_emb = int(data["n_embeddings"])
+        # the nominal alphabet, or a widened refined-grid alphabet (an
+        # integer multiple of it — codec/uniform_cabac.py's grid_expand)
+        assert n_emb % self.n_symbols == 0, (n_emb, self.n_symbols)
         self.priors = np.asarray(data["priors"], np.uint16)
+        assert self.priors.shape[-1] == n_emb, (self.priors.shape, n_emb)
 
     # ------------------------------------------------------------ entropy
     def compress_entropy(
@@ -124,16 +132,23 @@ class EntropyCodecBase:
         the smaller stream — entropy coding with a stale or mismatched prior
         must never cost rate vs not using it (round-4 RD: 4-bit priors lost
         to adaptive 240:1 vs 249:1)."""
-        auto_priors = use_priors is None
-        if auto_priors:
-            use_priors = self.priors is not None
-        elif use_priors and self.priors is None:
-            raise ValueError(
-                "use_priors=True but no prior table is loaded — call "
-                "calibrate(images) or load_priors(file) first"
-            )
         codes, extra_meta = self._latent_codes(x, refine_steps=refine_steps,
                                                refine_lr=refine_lr)
+        # streams may use a wider alphabet than the nominal one (e.g. the
+        # fixed-step refined grid, codec/uniform_cabac.py) — the subclass
+        # signals it via the private _n_symbols key; priors only apply when
+        # their table was calibrated at the stream's alphabet
+        n_sym = int(extra_meta.pop("_n_symbols", self.n_symbols))
+        priors_ok = self.priors is not None and self.priors.shape[-1] == n_sym
+        auto_priors = use_priors is None
+        if auto_priors:
+            use_priors = priors_ok
+        elif use_priors and not priors_ok:
+            raise ValueError(
+                "use_priors=True but no prior table for this stream's "
+                f"alphabet ({n_sym} symbols) is loaded — calibrate(images) "
+                "with matching refine settings or load_priors(file) first"
+            )
         orig_size = self._raw_index_bits(codes) / 8  # raw index bytes
         stream_lengths = None
         if use_cabac:
@@ -141,21 +156,20 @@ class EntropyCodecBase:
             # thread pool — batch encode scales with cores and any single
             # image can be decoded without touching the others
             payload, stream_lengths = cabac_encode_batched(
-                codes, self.n_symbols, self.priors if use_priors else None)
+                codes, n_sym, self.priors if use_priors else None)
             if use_priors and auto_priors:
-                alt, alt_lengths = cabac_encode_batched(codes, self.n_symbols,
-                                                        None)
+                alt, alt_lengths = cabac_encode_batched(codes, n_sym, None)
                 if len(alt) < len(payload):
                     payload, stream_lengths, use_priors = alt, alt_lengths, False
             # Entropy coding must never expand: if the codes carry ~no mutual
             # information (e.g. an untrained encoder), fall back to packed raw.
-            raw = self._pack_raw(codes)
+            raw = self._pack_raw(codes, n_sym)
             if len(raw) < len(payload):
                 payload, use_cabac, use_priors = raw, False, False
                 stream_lengths = None
         else:
             use_priors = False
-            payload = self._pack_raw(codes)
+            payload = self._pack_raw(codes, n_sym)
         # side information (e.g. the affine latent range) counts toward the
         # rate: it is genuine per-image data the decoder needs
         side_info = sum(np.asarray(v).size * 4 for v in extra_meta.values()
@@ -175,10 +189,11 @@ class EntropyCodecBase:
             # v2 = B independent per-image streams (stream_lengths in the
             # metadata); v1 was one monolithic stream — an incompatible
             # layout must not reuse the old identifier
-            "codec": "ic2t-cabac-v2" if use_cabac else self._raw_codec_name(),
+            "codec": ("ic2t-cabac-v2" if use_cabac
+                      else self._raw_codec_name(n_sym)),
             "latents": self._latents_id,
             "shape": list(codes.shape),
-            "n_embeddings": int(self.n_symbols),
+            "n_embeddings": int(n_sym),
             "use_cabac": bool(use_cabac),
             "use_priors": bool(use_priors),
             "orig_size": float(orig_size),
@@ -195,11 +210,13 @@ class EntropyCodecBase:
         alphabets override."""
         return codes.size * float(np.log2(self.n_symbols))
 
-    def _raw_codec_name(self) -> str:
-        return "raw-u8" if self.n_symbols <= 256 else "raw-u16"
+    def _raw_codec_name(self, n_sym: Optional[int] = None) -> str:
+        n = self.n_symbols if n_sym is None else n_sym
+        return "raw-u8" if n <= 256 else "raw-u16"
 
-    def _pack_raw(self, codes: np.ndarray) -> bytes:
-        dt = np.uint8 if self.n_symbols <= 256 else np.uint16
+    def _pack_raw(self, codes: np.ndarray, n_sym: Optional[int] = None) -> bytes:
+        n = self.n_symbols if n_sym is None else n_sym
+        dt = np.uint8 if n <= 256 else np.uint16
         return codes.astype(dt).tobytes()
 
     def _unpack_raw(self, payload: bytes, shape, codec: str) -> np.ndarray:
@@ -228,6 +245,12 @@ class EntropyCodecBase:
                     "stream was encoded with trained priors; load_priors() first"
                 )
                 priors = self.priors
+                if priors.shape[-1] != int(metadata["n_embeddings"]):
+                    raise ValueError(
+                        f"loaded prior table models {priors.shape[-1]} "
+                        f"symbols but the stream's alphabet is "
+                        f"{metadata['n_embeddings']} — wrong table"
+                    )
                 expected_crc = metadata.get("priors_crc32")
                 if (expected_crc is not None
                         and zlib.crc32(priors.tobytes()) != expected_crc):

@@ -168,7 +168,8 @@ class Compressor:
 
     def refine(self, w0, target, steps: int = 64, lr: float = 0.02,
                quantization_bits=None,
-               chunk: Optional[int] = 4, w_range=None) -> jnp.ndarray:
+               chunk: Optional[int] = 4, w_range=None,
+               n_levels=None) -> jnp.ndarray:
         """Encode-time inversion refinement: N jitted Adam steps on W+
         minimising MSE(synthesis(w), target), starting from ``w0`` (usually
         the encoder's means).  Same rate, lower distortion; chunked to bound
@@ -176,7 +177,10 @@ class Compressor:
         ``quantization_bits`` (scalar or per-layer sequence) enables
         straight-through quantization-aware refinement on the 2**bits grid;
         ``w_range = (lo, hi)`` per [B, num_ws] switches that grid to the
-        affine range the entropy-coded index path decodes on."""
+        affine range the entropy-coded index path decodes on;
+        ``n_levels`` ([B, num_ws] int) switches it to the fixed-step grid
+        with per-(image, layer) level counts (``quantization_bits`` is then
+        ignored — the counts already encode the step)."""
         from .refine import refine_latents
 
         if quantization_bits is None:
@@ -188,7 +192,7 @@ class Compressor:
         return refine_latents(
             self.generator, self.generator_vars, w0, target,
             steps=steps, lr=lr, levels=levels,
-            chunk=chunk, w_range=w_range)
+            chunk=chunk, w_range=w_range, n_levels=n_levels)
 
     def _place(self, x):
         """Shard a batch over the mesh's data axis when one is configured

@@ -56,6 +56,12 @@ def make_refiner(
     reconstruction the entropy-coded index path will produce
     (quant.uniform.quantize_to_indices_affine).
 
+    With ``affine='grid'`` the closure additionally takes per-(image, layer)
+    level COUNTS ``refine(gen_vars, w0, target, lo, hi, nlv)`` ([B, num_ws]
+    int) — the FIXED-STEP refined grid (quant.uniform.fixed_step_levels),
+    where the alphabet size varies per image/layer instead of the step.
+    ``levels`` is ignored in this mode; the counts are runtime data.
+
     The loop runs fp32 on the latent regardless of the synthesis compute
     dtype — W+ is the quantity being optimised and then quantized, so it
     must not round-trip through bf16.
@@ -69,9 +75,10 @@ def make_refiner(
             return float(levels - 1)
         return jnp.asarray([x - 1 for x in levels], jnp.float32)[None, :, None]
 
-    def loss_fn(w, gen_vars, target, lo=None, hi=None):
+    def loss_fn(w, gen_vars, target, lo=None, hi=None, nlv=None):
         if affine:
-            scale = _scales(w.shape[1])
+            scale = (nlv.astype(jnp.float32)[:, :, None] - 1.0
+                     if affine == "grid" else _scales(w.shape[1]))
             lo = lo[:, :, None]
             hi = hi[:, :, None]
             w01 = jnp.clip((w - lo) / (hi - lo), 0.0, 1.0)
@@ -97,7 +104,7 @@ def make_refiner(
     grad_fn = jax.grad(loss_fn)
 
     @jax.jit
-    def refine(gen_vars, w0, target, lo=None, hi=None):
+    def refine(gen_vars, w0, target, lo=None, hi=None, nlv=None):
         w0 = w0.astype(jnp.float32)
         if affine:
             lo = jnp.asarray(lo, jnp.float32)
@@ -105,7 +112,7 @@ def make_refiner(
 
         def body(carry, _):
             w, opt_state = carry
-            g = (grad_fn(w, gen_vars, target, lo, hi) if affine
+            g = (grad_fn(w, gen_vars, target, lo, hi, nlv) if affine
                  else grad_fn(w, gen_vars, target))
             updates, opt_state = opt.update(g, opt_state, w)
             return (optax.apply_updates(w, updates), opt_state), None
@@ -139,6 +146,7 @@ def refine_latents(
     levels=None,
     chunk: Optional[int] = 4,
     w_range=None,
+    n_levels=None,
 ) -> jnp.ndarray:
     """Shared encode-time refinement entry for every codec class.
 
@@ -152,9 +160,12 @@ def refine_latents(
 
     ``w_range = (lo, hi)`` ([B, num_ws] each) switches the straight-through
     quantizer to the per-(image, layer) affine grid the entropy-coded index
-    path decodes on (requires ``levels``).
+    path decodes on (requires ``levels``); adding ``n_levels`` ([B, num_ws]
+    int) switches to the FIXED-STEP grid whose level counts are runtime
+    data (``levels`` is then ignored).
     """
-    affine = w_range is not None
+    affine = ("grid" if (w_range is not None and n_levels is not None)
+              else w_range is not None)
     if isinstance(levels, int) or levels is None:
         lv = None if levels is None else int(levels)
     else:
@@ -175,13 +186,17 @@ def refine_latents(
     flrelu_policy.set_train(True)
     try:
         if affine:
-            assert levels is not None, "affine refinement requires levels"
+            assert affine == "grid" or levels is not None, (
+                "affine refinement requires levels (or n_levels)")
             lo = jnp.asarray(w_range[0], jnp.float32)
             hi = jnp.asarray(w_range[1], jnp.float32)
+            nlv = (jnp.asarray(n_levels, jnp.int32)
+                   if affine == "grid" else None)
             if chunk is None or n <= chunk:
-                return fn(gen_vars, w0, target, lo, hi)
+                return fn(gen_vars, w0, target, lo, hi, nlv)
             outs = [fn(gen_vars, w0[i:i + chunk], target[i:i + chunk],
-                       lo[i:i + chunk], hi[i:i + chunk])
+                       lo[i:i + chunk], hi[i:i + chunk],
+                       None if nlv is None else nlv[i:i + chunk])
                     for i in range(0, n, chunk)]
             return jnp.concatenate(outs, axis=0)
         if chunk is None or n <= chunk:

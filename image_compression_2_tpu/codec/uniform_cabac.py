@@ -39,9 +39,12 @@ import jax.numpy as jnp
 from ..quant.uniform import (
     dequantize_from_indices,
     dequantize_from_indices_affine,
+    dequantize_from_indices_grid,
+    fixed_step_levels,
     latent_range,
     quantize_to_indices,
     quantize_to_indices_affine,
+    quantize_to_indices_grid,
 )
 from .cabac_compressor import EntropyCodecBase
 from .compressor import Compressor
@@ -52,9 +55,25 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
 
     ``quantization_bits``: scalar, or a length-num_ws sequence for the
     per-layer allocation regime.
+
+    ``refined_grid``: how refined (out-of-[-1,1]) latents map to indices —
+    - ``'fixed-step'`` (default): keep the [-1, 1] grid's STEP
+      2 / (2**bits - 1) and grow the per-(image, layer) level COUNT to
+      cover the refined span (``quant.uniform.fixed_step_levels``, alphabet
+      capped at ``grid_expand * 2**bits``).  The entropy coder prices the
+      wider alphabet at the symbols' actual entropy (~log2(span/2) extra
+      bits/symbol), which is far cheaper than the distortion the wider
+      span-mode step costs (round-5 RD: 3.9 dB at 8-bit, span ≈ 3.1).
+    - ``'span'``: cover the span with exactly 2**bits levels (the round-5
+      affine container) — smallest alphabet, widest step.
+    Decode is metadata-driven (streams record ``w_grid``), so either codec
+    decodes either stream.
     """
 
-    def __init__(self, *args, quantization_bits=8, **kwargs):
+    def __init__(self, *args, quantization_bits=8,
+                 refined_grid: str = "fixed-step", grid_expand: int = 4,
+                 refine_qa_frac: Optional[float] = None,
+                 **kwargs):
         if isinstance(quantization_bits, (int, np.integer)):
             bits_list = [int(quantization_bits)]
             self.bits_per_layer: Optional[Tuple[int, ...]] = None
@@ -68,6 +87,32 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
         for b in bits_list:
             if not 1 <= b <= 15:
                 raise ValueError(f"quantization_bits must be in [1, 15]: {b}")
+        if refined_grid not in ("fixed-step", "span"):
+            raise ValueError(f"refined_grid must be 'fixed-step' or 'span': "
+                             f"{refined_grid!r}")
+        self.refined_grid = refined_grid
+        self.grid_expand = int(grid_expand)
+        # Fraction of refine_steps spent in the quantization-aware phase.
+        # span: the decode grid is much coarser than the [-1, 1] grid
+        # (step widened by span/2), so descent on the actual grid recovers
+        # real distortion — round-5 kept 50/50.  fixed-step: the decode grid
+        # HAS the [-1, 1] step, so rounding after full free inversion is
+        # already near-lossless and every step diverted to the ST phase is a
+        # free-inversion step lost (measured: 50/50 cost 3.9 dB vs free-only
+        # at 100 steps, runs/r5f_grid_probe*.txt).
+        if refine_qa_frac is None:
+            refine_qa_frac = 0.0 if refined_grid == "fixed-step" else 0.5
+        if not 0.0 <= float(refine_qa_frac) <= 1.0:
+            raise ValueError(f"refine_qa_frac must be in [0, 1]: "
+                             f"{refine_qa_frac}")
+        self.refine_qa_frac = float(refine_qa_frac)
+        if (refined_grid == "fixed-step"
+                and self.grid_expand * (1 << max(bits_list)) > (1 << 15)):
+            # same 15-bit alphabet cap as quantization_bits itself: the
+            # range coder's adaptive model needs total frequency < 2^16
+            raise ValueError(
+                f"grid_expand * 2**bits exceeds the coder's 2^15 alphabet "
+                f"cap: {self.grid_expand} * 2**{max(bits_list)}")
         super().__init__(*args, **kwargs)
         self.quantization_bits = max(bits_list)
         if (self.bits_per_layer is not None
@@ -104,10 +149,27 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
         w = self.encode(x, deterministic=True)
         if refine_steps:
             # Phase 1 — free inversion: W+ may (and should) leave [-1, 1].
-            s1 = (refine_steps + 1) // 2
-            s2 = refine_steps - s1
-            w = self.refine(w, x, steps=s1, lr=refine_lr)
+            s2 = int(round(refine_steps * self.refine_qa_frac))
+            s1 = refine_steps - s2
+            if s1:
+                w = self.refine(w, x, steps=s1, lr=refine_lr)
             lo, hi = latent_range(np.asarray(w))
+            meta = {"w_range": np.stack([lo, hi], -1).tolist()}
+            if self.refined_grid == "fixed-step":
+                # Variable-alphabet grid at the fixed [-1, 1] step; the
+                # decoder recomputes n_levels from the stored float32 range,
+                # so the counts themselves are not side information.
+                nlv = fixed_step_levels(lo, hi, bits, self.grid_expand)
+                if s2:
+                    w = self.refine(w, x, steps=s2, lr=refine_lr,
+                                    w_range=(lo, hi), n_levels=nlv)
+                codes = np.asarray(
+                    quantize_to_indices_grid(w, lo, hi, nlv), np.int32)
+                meta |= {"w_grid": "fixed-step",
+                         "grid_expand": self.grid_expand,
+                         "_n_symbols":
+                             self.grid_expand * (1 << self.quantization_bits)}
+                return codes, meta
             if s2:
                 # Phase 2 — quantization-aware on the grid the decoder will
                 # actually reconstruct from (affine span, boundary clamp).
@@ -115,7 +177,7 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
                                 quantization_bits=bits, w_range=(lo, hi))
             codes = np.asarray(
                 quantize_to_indices_affine(w, bits, lo, hi), np.int32)
-            return codes, {"w_range": np.stack([lo, hi], -1).tolist()}
+            return codes, meta
         if self.bits_per_layer is None:
             # fixed [-1, 1] grid — bit-exact with the `.npz` float path
             return np.asarray(
@@ -130,8 +192,16 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
         codes = jnp.asarray(codes)
         if metadata and metadata.get("w_range") is not None:
             wr = np.asarray(metadata["w_range"], np.float32)  # [B, T, 2]
-            w = dequantize_from_indices_affine(codes, bits,
-                                               wr[..., 0], wr[..., 1])
+            if metadata.get("w_grid") == "fixed-step":
+                # recompute the per-(image, layer) level counts from the
+                # stored float32 range — bit-identical to the encoder's
+                nlv = fixed_step_levels(wr[..., 0], wr[..., 1], bits,
+                                        int(metadata.get("grid_expand", 4)))
+                w = dequantize_from_indices_grid(codes, wr[..., 0],
+                                                 wr[..., 1], nlv)
+            else:
+                w = dequantize_from_indices_affine(codes, bits,
+                                                   wr[..., 0], wr[..., 1])
         elif self.bits_per_layer is None:
             w = dequantize_from_indices(codes, self.quantization_bits)
         else:

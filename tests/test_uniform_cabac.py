@@ -147,25 +147,36 @@ def test_affine_index_roundtrip_exact():
 
 def test_refined_latents_survive_entropy_coding():
     """The coded refined path must reconstruct the refined latents to within
-    affine quantization error — no [-1,1] clamp cliff (round-4: -5.5 dB)."""
+    the FIXED grid step — no [-1,1] clamp cliff (round-4: -5.5 dB) and no
+    span-widened step (round-5: -3.9 dB)."""
     from image_compression_2_tpu.quant.uniform import (
-        dequantize_from_indices_affine,
+        dequantize_from_indices_grid,
+        fixed_step_levels,
     )
 
     comp = _codec(bits=8)
     x = _images(1, seed=6)
     codes, extra = comp._latent_codes(x, refine_steps=4)
     assert "w_range" in extra
+    assert extra["w_grid"] == "fixed-step"
+    assert extra.pop("_n_symbols") == 4 * 256
     wr = np.asarray(extra["w_range"], np.float32)
     lo, hi = wr[..., 0], wr[..., 1]
-    w_dec = np.asarray(dequantize_from_indices_affine(codes, 8, lo, hi))
-    # decoded latents live on the affine grid spanning the refined range,
+    nlv = fixed_step_levels(lo, hi, 8, extra["grid_expand"])
+    w_dec = np.asarray(dequantize_from_indices_grid(codes, lo, hi, nlv))
+    # decoded latents live on the grid spanning the refined range,
     # not clamped to [-1, 1]
     assert (w_dec.min(axis=-1) >= lo - 1e-5).all()
     assert (w_dec.max(axis=-1) <= hi + 1e-5).all()
+    # realised step never exceeds the fixed [-1, 1] step where the alphabet
+    # cap does not bind — the whole point of the fixed-step grid
+    step = (hi - lo) / (nlv - 1)
+    fixed = 2.0 / 255.0
+    assert ((step <= fixed + 1e-6) | (nlv == 4 * 256)).all()
     # full roundtrip through the entropy layer carries the range
     payload, meta = comp.compress_entropy(x, refine_steps=4)
     assert meta.get("w_range") is not None
+    assert meta["n_embeddings"] == 4 * 256
     # side information is charged to the rate
     n_range_bytes = np.asarray(meta["w_range"]).size * 4
     assert meta["comp_size"] >= n_range_bytes
@@ -182,6 +193,133 @@ def test_refined_container_roundtrip_with_range(tmp_path):
         comp.decompress_entropy(*comp.compress_entropy(x, refine_steps=4)))
     img, ratio = comp.load_compressed(f)
     np.testing.assert_array_equal(np.asarray(img), ref)
+
+
+def test_fixed_step_levels_and_grid_roundtrip():
+    """fixed_step_levels: step <= the fixed grid's until the cap binds, and
+    the grid quant/dequant pair reconstructs within half the realised step."""
+    from image_compression_2_tpu.quant.uniform import (
+        dequantize_from_indices_grid,
+        fixed_step_levels,
+        latent_range,
+        quantize_to_indices_grid,
+    )
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(0.0, 2.0, (3, 4, 16)).astype(np.float32)
+    lo, hi = latent_range(w)
+    for bits in (6, [4, 8, 6, 10]):
+        nlv = fixed_step_levels(lo, hi, bits, expand=4)
+        b = np.asarray([bits] * 4 if isinstance(bits, int) else bits)
+        cap = (1 << b) * 4
+        assert (nlv >= 2).all() and (nlv <= cap[None, :]).all()
+        fixed_step = 2.0 / ((1 << b) - 1)
+        realised = (hi - lo) / (nlv - 1)
+        assert ((realised <= fixed_step[None, :] + 1e-6)
+                | (nlv == cap[None, :])).all()
+        idx = np.asarray(quantize_to_indices_grid(w, lo, hi, nlv))
+        assert idx.min() >= 0 and (idx.max(axis=-1) < nlv).all()
+        back = np.asarray(dequantize_from_indices_grid(idx, lo, hi, nlv))
+        assert (np.abs(back - w) <= realised[:, :, None] / 2 + 1e-5).all()
+
+
+def test_fixed_step_levels_decoder_recompute_is_exact():
+    """The decoder recomputes n_levels from the container's float32 range —
+    must be bit-identical to the encoder's, including after the JSON
+    round-trip the container metadata takes."""
+    import json
+
+    from image_compression_2_tpu.quant.uniform import (
+        fixed_step_levels,
+        latent_range,
+    )
+
+    rng = np.random.default_rng(2)
+    w = rng.normal(0.0, 1.7, (4, 6, 32)).astype(np.float32)
+    lo, hi = latent_range(w)
+    enc = fixed_step_levels(lo, hi, 8, 4)
+    wr = np.stack([lo, hi], -1).tolist()
+    wr2 = np.asarray(json.loads(json.dumps({"w_range": wr}))["w_range"],
+                     np.float32)
+    dec = fixed_step_levels(wr2[..., 0], wr2[..., 1], 8, 4)
+    np.testing.assert_array_equal(enc, dec)
+
+
+def test_fixed_step_beats_span_distortion_at_same_range():
+    """On the same out-of-[-1,1] latents, the fixed-step grid's quantization
+    error must be strictly below the 2**bits span grid's whenever the span
+    exceeds 2 (the regime refinement creates)."""
+    from image_compression_2_tpu.quant.uniform import (
+        dequantize_from_indices_affine,
+        dequantize_from_indices_grid,
+        fixed_step_levels,
+        latent_range,
+        quantize_to_indices_affine,
+        quantize_to_indices_grid,
+    )
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(0.0, 2.0, (2, 4, 64)).astype(np.float32)
+    lo, hi = latent_range(w)
+    assert (hi - lo).max() > 2.0  # the regime under test
+    bits = 6
+    span_dec = np.asarray(dequantize_from_indices_affine(
+        quantize_to_indices_affine(w, bits, lo, hi), bits, lo, hi))
+    nlv = fixed_step_levels(lo, hi, bits, expand=4)
+    grid_dec = np.asarray(dequantize_from_indices_grid(
+        quantize_to_indices_grid(w, lo, hi, nlv), lo, hi, nlv))
+    mse_span = float(np.mean((span_dec - w) ** 2))
+    mse_grid = float(np.mean((grid_dec - w) ** 2))
+    assert mse_grid < mse_span
+
+
+def test_span_codec_decodes_fixed_step_stream_and_vice_versa():
+    """Decode is metadata-driven: a span-configured codec reconstructs a
+    fixed-step stream bit-exactly (and the other way round)."""
+    comp = _codec(bits=8)
+    span = UniformCABACCompressor(comp.encoder_cfg, comp.generator_cfg,
+                                  comp.encoder_vars, comp.generator_vars,
+                                  quantization_bits=8, refined_grid="span")
+    x = _images(1, seed=11)
+    p1, m1 = comp.compress_entropy(x, refine_steps=2)
+    assert m1.get("w_grid") == "fixed-step"
+    np.testing.assert_array_equal(np.asarray(span.decompress_entropy(p1, m1)),
+                                  np.asarray(comp.decompress_entropy(p1, m1)))
+    p2, m2 = span.compress_entropy(x, refine_steps=2)
+    assert m2.get("w_grid") is None and m2["n_embeddings"] == 256
+    np.testing.assert_array_equal(np.asarray(span.decompress_entropy(p2, m2)),
+                                  np.asarray(comp.decompress_entropy(p2, m2)))
+
+
+def test_grid_priors_alphabet_handling():
+    """Priors calibrated on refined (grid) codes get the widened alphabet;
+    auto mode silently skips them for unrefined (nominal-alphabet) streams,
+    and explicit use_priors=True on a mismatched alphabet raises."""
+    comp = _codec(bits=6)
+    x = _images(2, seed=12)
+    comp.calibrate(x, refine_steps=2)
+    assert comp.priors.shape[-1] == 4 * 64
+    # refined stream: priors apply (auto keeps the smaller encoding)
+    p, m = comp.compress_entropy(x, refine_steps=2)
+    assert m["n_embeddings"] == 4 * 64
+    img = comp.decompress_entropy(p, m)
+    assert np.isfinite(np.asarray(img)).all()
+    # unrefined stream: alphabet 64 != 256 — auto must fall back, not crash
+    p2, m2 = comp.compress_entropy(x)
+    assert m2["n_embeddings"] == 64 and not m2["use_priors"]
+    # explicit request is a hard error, not silent garbage
+    with pytest.raises(ValueError, match="alphabet"):
+        comp.compress_entropy(x, use_priors=True)
+
+
+def test_grid_expand_alphabet_cap_validation():
+    with pytest.raises(ValueError, match="alphabet"):
+        gen_cfg = GeneratorConfig.tiny(img_resolution=RES, num_layers=4,
+                                       margin_size=1)
+        enc_cfg = EncoderConfig.tiny(img_resolution=RES, w_dim=gen_cfg.w_dim,
+                                     num_ws=gen_cfg.num_ws, block_split=(2, 4))
+        UniformCABACCompressor.create(enc_cfg, gen_cfg, seed=0,
+                                      quantization_bits=14, grid_expand=8)
 
 
 def test_per_layer_bit_allocation_codec():
