@@ -45,6 +45,7 @@ from ..quant.uniform import (
     quantize_to_indices,
     quantize_to_indices_affine,
     quantize_to_indices_grid,
+    snap_to_lattice,
 )
 from .cabac_compressor import EntropyCodecBase
 from .compressor import Compressor
@@ -94,12 +95,15 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
         self.grid_expand = int(grid_expand)
         # Fraction of refine_steps spent in the quantization-aware phase.
         # span: the decode grid is much coarser than the [-1, 1] grid
-        # (step widened by span/2), so descent on the actual grid recovers
-        # real distortion — round-5 kept 50/50.  fixed-step: the decode grid
-        # HAS the [-1, 1] step, so rounding after full free inversion is
-        # already near-lossless and every step diverted to the ST phase is a
-        # free-inversion step lost (measured: 50/50 cost 3.9 dB vs free-only
-        # at 100 steps, runs/r5f_grid_probe*.txt).
+        # (step widened by span/2), so descent on the actual (clamped) grid
+        # recovers real distortion — round-5 kept 50/50.  fixed-step: the
+        # QA phase straight-through-rounds on the UNBOUNDED (-1)-anchored
+        # lattice the container codes (the stored range is snapped to it);
+        # at 8 bits the lattice is fine enough that free-only measured best
+        # (runs/r5f_grid_probe*.txt: qa split cost 3.9-7.6 dB when the QA
+        # phase ran on the clamped span grid), hence the 0.0 default —
+        # at coarse bit widths pass refine_qa_frac explicitly (the float
+        # 4-bit QA row beat free by +3.4 dB, RD_TABLE).
         if refine_qa_frac is None:
             refine_qa_frac = 0.0 if refined_grid == "fixed-step" else 0.5
         if not 0.0 <= float(refine_qa_frac) <= 1.0:
@@ -153,23 +157,35 @@ class UniformCABACCompressor(EntropyCodecBase, Compressor):
             s1 = refine_steps - s2
             if s1:
                 w = self.refine(w, x, steps=s1, lr=refine_lr)
-            lo, hi = latent_range(np.asarray(w))
-            meta = {"w_range": np.stack([lo, hi], -1).tolist()}
             if self.refined_grid == "fixed-step":
-                # Variable-alphabet grid at the fixed [-1, 1] step; the
+                if s2:
+                    # Quantization-aware phase on the UNBOUNDED fixed-step
+                    # lattice (straight-through rounding at step
+                    # 2/(2**bits - 1), no clamp — exactly the grid the
+                    # variable-alphabet container codes): no range is needed
+                    # before refinement, so the range/levels are taken AFTER
+                    # all steps and nothing the optimiser produced is
+                    # clamped away.
+                    w = self.refine(w, x, steps=s2, lr=refine_lr,
+                                    quantization_bits=bits)
+                # Snap the range outward to the (-1)-anchored lattice: the
+                # coding grid then has the SAME step and phase as the QA
+                # phase's straight-through lattice (and for free-only
+                # refinement the snap costs at most one extra level).  The
                 # decoder recomputes n_levels from the stored float32 range,
                 # so the counts themselves are not side information.
+                lo, hi = latent_range(np.asarray(w))
+                lo, hi = snap_to_lattice(lo, hi, bits)
                 nlv = fixed_step_levels(lo, hi, bits, self.grid_expand)
-                if s2:
-                    w = self.refine(w, x, steps=s2, lr=refine_lr,
-                                    w_range=(lo, hi), n_levels=nlv)
                 codes = np.asarray(
                     quantize_to_indices_grid(w, lo, hi, nlv), np.int32)
-                meta |= {"w_grid": "fixed-step",
-                         "grid_expand": self.grid_expand,
-                         "_n_symbols":
-                             self.grid_expand * (1 << self.quantization_bits)}
-                return codes, meta
+                return codes, {"w_range": np.stack([lo, hi], -1).tolist(),
+                               "w_grid": "fixed-step",
+                               "grid_expand": self.grid_expand,
+                               "_n_symbols": self.grid_expand
+                               * (1 << self.quantization_bits)}
+            lo, hi = latent_range(np.asarray(w))
+            meta = {"w_range": np.stack([lo, hi], -1).tolist()}
             if s2:
                 # Phase 2 — quantization-aware on the grid the decoder will
                 # actually reconstruct from (affine span, boundary clamp).

@@ -84,6 +84,42 @@ def dequantize_from_indices_affine(idx: jnp.ndarray, bits, lo, hi) -> jnp.ndarra
     return lo + (idx.astype(jnp.float32) / scales) * (hi - lo)
 
 
+def _fixed_steps(bits, num_layers: int):
+    """Per-layer fixed-grid step 2 / (2**bits - 1) and alphabet base, float64
+    [T] each."""
+    import numpy as np
+
+    if isinstance(bits, (int, np.integer)):
+        b = np.full(num_layers, int(bits), np.int64)
+    else:
+        b = np.asarray([int(x) for x in bits], np.int64)
+        assert b.shape[0] == num_layers, (b.shape, num_layers)
+    return 2.0 / ((1 << b) - 1).astype(np.float64), (1 << b)
+
+
+def snap_to_lattice(lo, hi, bits):
+    """Snap a per-(image, layer) range OUTWARD to the (-1)-anchored
+    fixed-step lattice ``-1 + k * 2/(2**bits - 1)``.
+
+    This is the encoder-side half of the FIXED-STEP refined grid: the
+    quantization-aware refinement phase straight-through-rounds W+ on this
+    exact lattice (quantize_uniform's grid, unbounded — no clamp), so the
+    coding grid must have the SAME step AND phase or every decoded value
+    shifts by up to half a step.  Returns float32 (lo, hi) lattice points to
+    store in the container (``fixed_step_levels`` recovers the lattice
+    indices from them bit-exactly on both ends).
+    """
+    import numpy as np
+
+    step, _ = _fixed_steps(bits, np.shape(lo)[1])
+    step = step[None, :]
+    ilo = np.floor((np.asarray(lo, np.float64) + 1.0) / step + 1e-9)
+    ihi = np.ceil((np.asarray(hi, np.float64) + 1.0) / step - 1e-9)
+    ihi = np.maximum(ihi, ilo + 1)  # degenerate-range guard
+    return ((ilo * step - 1.0).astype(np.float32),
+            (ihi * step - 1.0).astype(np.float32))
+
+
 def fixed_step_levels(lo, hi, bits, expand: int = 4):
     """Level counts for the FIXED-STEP refined grid.
 
@@ -96,25 +132,27 @@ def fixed_step_levels(lo, hi, bits, expand: int = 4):
     actual entropy (~log2(span/2) extra bits/symbol), a far smaller rate
     cost than the distortion it buys back.
 
-    ``lo``/``hi``: [B, num_ws] float; ``bits``: scalar or per-layer sequence;
-    ``expand``: alphabet cap as a multiple of 2**bits (beyond it the grid
-    degrades gracefully to span mode's wider step).  Returns int32
-    [B, num_ws] level counts in [2, expand * 2**bits].  The decode grid is
-    ``lo + idx * (hi - lo) / (n - 1)``, so the realised step is <= the fixed
-    step wherever the cap does not bind.
+    ``lo``/``hi``: [B, num_ws] float32 as produced by ``snap_to_lattice``
+    and stored in the container — this function is the SHARED encode/decode
+    half: both sides recompute the counts from the stored float32 range, so
+    they are never side information.  Lattice indices are recovered by
+    rounding ((x + 1) / step); for stored lattice points the float32 error
+    is ~1e-4 of a step, so the round is exact.  ``bits``: scalar or
+    per-layer sequence; ``expand``: alphabet cap as a multiple of 2**bits
+    (where it binds, the grid degrades gracefully to span mode's wider
+    step — both sides take the same branch because both compute from the
+    same stored floats).  Returns int32 [B, num_ws] level counts in
+    [2, expand * 2**bits].
     """
     import numpy as np
 
-    lo = np.asarray(lo, np.float32)
-    hi = np.asarray(hi, np.float32)
-    if isinstance(bits, (int, np.integer)):
-        b = np.full(lo.shape[1], int(bits), np.int64)
-    else:
-        b = np.asarray([int(x) for x in bits], np.int64)
-        assert b.shape[0] == lo.shape[1], (b.shape, lo.shape)
-    step = 2.0 / ((1 << b) - 1).astype(np.float64)  # [T]
-    cap = (1 << b) * int(expand)  # [T]
-    n = np.ceil((hi - lo).astype(np.float64) / step[None, :] - 1e-6) + 1
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    step, base = _fixed_steps(bits, lo.shape[1])
+    ilo = np.round((lo + 1.0) / step[None, :])
+    ihi = np.round((hi + 1.0) / step[None, :])
+    cap = base * int(expand)
+    n = ihi - ilo + 1
     return np.clip(n, 2, cap[None, :]).astype(np.int32)
 
 

@@ -196,31 +196,67 @@ def test_refined_container_roundtrip_with_range(tmp_path):
 
 
 def test_fixed_step_levels_and_grid_roundtrip():
-    """fixed_step_levels: step <= the fixed grid's until the cap binds, and
-    the grid quant/dequant pair reconstructs within half the realised step."""
+    """Snapped fixed-step grid: points lie EXACTLY on the (-1)-anchored
+    lattice until the cap binds, and the quant/dequant pair reconstructs
+    within half the realised step."""
     from image_compression_2_tpu.quant.uniform import (
         dequantize_from_indices_grid,
         fixed_step_levels,
         latent_range,
         quantize_to_indices_grid,
+        snap_to_lattice,
     )
 
     rng = np.random.default_rng(1)
     w = rng.normal(0.0, 2.0, (3, 4, 16)).astype(np.float32)
-    lo, hi = latent_range(w)
     for bits in (6, [4, 8, 6, 10]):
+        lo, hi = latent_range(w)
+        lo, hi = snap_to_lattice(lo, hi, bits)
+        assert (lo[:, :, None] <= w + 1e-6).all()
+        assert (hi[:, :, None] >= w - 1e-6).all()
         nlv = fixed_step_levels(lo, hi, bits, expand=4)
         b = np.asarray([bits] * 4 if isinstance(bits, int) else bits)
         cap = (1 << b) * 4
         assert (nlv >= 2).all() and (nlv <= cap[None, :]).all()
         fixed_step = 2.0 / ((1 << b) - 1)
         realised = (hi - lo) / (nlv - 1)
-        assert ((realised <= fixed_step[None, :] + 1e-6)
-                | (nlv == cap[None, :])).all()
+        uncapped = nlv < cap[None, :]
+        assert (np.abs(realised - fixed_step[None, :])[uncapped]
+                <= 1e-6).all()
+        # phase: grid points sit on the -1-anchored lattice where uncapped
+        k = np.round((lo + 1.0) / fixed_step[None, :])
+        assert (np.abs(lo + 1.0 - k * fixed_step[None, :])[uncapped]
+                <= 1e-5).all()
         idx = np.asarray(quantize_to_indices_grid(w, lo, hi, nlv))
         assert idx.min() >= 0 and (idx.max(axis=-1) < nlv).all()
         back = np.asarray(dequantize_from_indices_grid(idx, lo, hi, nlv))
         assert (np.abs(back - w) <= realised[:, :, None] / 2 + 1e-5).all()
+
+
+def test_fixed_step_lattice_codes_st_values_losslessly():
+    """Values already ON the straight-through lattice (what the
+    quantization-aware refinement phase produces) must survive the snapped
+    grid quant/dequant bit-nearly-exactly — the phase-alignment property."""
+    from image_compression_2_tpu.quant.uniform import (
+        dequantize_from_indices_grid,
+        fixed_step_levels,
+        latent_range,
+        quantize_to_indices_grid,
+        quantize_uniform,
+        snap_to_lattice,
+    )
+
+    rng = np.random.default_rng(4)
+    bits = 4
+    w = rng.normal(0.0, 1.0, (2, 3, 32)).astype(np.float32)
+    w_st = np.asarray(quantize_uniform(w, bits))  # unbounded lattice round
+    lo, hi = latent_range(w_st)
+    lo, hi = snap_to_lattice(lo, hi, bits)
+    nlv = fixed_step_levels(lo, hi, bits, expand=4)
+    assert (nlv < 4 * (1 << bits)).all()  # cap must not bind here
+    idx = np.asarray(quantize_to_indices_grid(w_st, lo, hi, nlv))
+    back = np.asarray(dequantize_from_indices_grid(idx, lo, hi, nlv))
+    np.testing.assert_allclose(back, w_st, atol=2e-6)
 
 
 def test_fixed_step_levels_decoder_recompute_is_exact():
@@ -232,11 +268,13 @@ def test_fixed_step_levels_decoder_recompute_is_exact():
     from image_compression_2_tpu.quant.uniform import (
         fixed_step_levels,
         latent_range,
+        snap_to_lattice,
     )
 
     rng = np.random.default_rng(2)
     w = rng.normal(0.0, 1.7, (4, 6, 32)).astype(np.float32)
     lo, hi = latent_range(w)
+    lo, hi = snap_to_lattice(lo, hi, 8)
     enc = fixed_step_levels(lo, hi, 8, 4)
     wr = np.stack([lo, hi], -1).tolist()
     wr2 = np.asarray(json.loads(json.dumps({"w_range": wr}))["w_range"],
