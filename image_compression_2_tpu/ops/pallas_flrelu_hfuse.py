@@ -45,7 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_flrelu_wfuse2 import _VMEM_BUDGET
+# hfuse keeps one [H, W, Ct] input block resident across the h-fastest grid
+# (plus f32 accumulators), so its working set is legitimately larger than
+# wfuse2/3's 12 MiB heuristic — the big 256² layers need 23-44 MiB blocks.
+# The pallas_call raises the scoped-VMEM cap to match (same mechanism as
+# ops/pallas_layerfuse.py; v5e VMEM is 128 MiB).
+_HFUSE_VMEM_BUDGET = 56 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,12 +75,22 @@ class HfusePlan:
 
 def plan_hfuse(B: int, H: int, H2: int, W: int, W2: int, Wo: int, C: int,
                dtype) -> Optional[HfusePlan]:
-    """Largest (Ht, Ct) whose working set fits VMEM, or None."""
+    """Largest (Ht, Ct) whose working set fits VMEM, or None.
+
+    Mosaic only lowers input blocks whose LANE (channel) dimension is a
+    multiple of 128 or equal to the array's — the round-5 sweep's Ct=64
+    fallback lowered in interpret mode but failed on-chip at every big
+    256² layer (`runs/r5_policy_fwd.txt`), which silently excluded hfuse
+    from the layers carrying ~44 of the stack's 58 ms.  Candidates are
+    therefore 128-multiples dividing C, or the full C (the wrapper pads
+    channels to a 128 multiple when C > 128 and C % 128 != 0).
+    """
     isz = jnp.dtype(dtype).itemsize
-    for Ct in (128, 64, 32):
-        if C % min(C, Ct) and Ct > C:
-            continue
-        ct = min(C, Ct)
+    if C % 128 == 0:
+        cts = [c for c in (256, 128) if C % c == 0]
+    else:
+        cts = [C]  # lane dim == array dim is the other legal form
+    for ct in cts:
         for Ht in (64, 32, 16, 8, 4):
             if Ht > H2 and Ht != 4:
                 continue
@@ -90,10 +105,19 @@ def plan_hfuse(B: int, H: int, H2: int, W: int, W2: int, Wo: int, C: int,
                 + Wo * n * 4                 # t3 accumulator (f32)
                 + 2 * Ht * Wo * ct * isz     # output block, double-buffered
             )
-            if est <= _VMEM_BUDGET:
+            if est <= _HFUSE_VMEM_BUDGET:
                 return HfusePlan(B, H, H2, W, W2, Wo, C, Ht, ct,
                                  jnp.dtype(dtype).name)
     return None
+
+
+def _pad_channels(C: int) -> int:
+    """Channel count the kernel actually runs at: padded up to a 128
+    multiple when C > 128 and C % 128 != 0 (keeps the lane block legal with
+    small 128-channel tiles instead of one giant full-C block)."""
+    if C > 128 and C % 128 != 0:
+        return ((C + 127) // 128) * 128
+    return C
 
 
 def _kernel(x_ref, ah_ref, au_ref, ad_ref, o_ref, *, slope, gain, clamp):
@@ -143,6 +167,8 @@ def _build_call(plan: HfusePlan, slope: float, gain: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (plan.B, plan.H2, plan.C, plan.Wo), jnp.dtype(plan.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * plan.B * plan.C
             * (plan.H2 * plan.H * plan.W                 # H-up
@@ -231,17 +257,24 @@ def filtered_lrelu_hfuse(
     A_h_dn = fir_matrix(fd, H2, 1, down, 0, 0, 1.0)
     Wo = A_w_dn.shape[0]
 
-    plan = plan_hfuse(B, H, H2, W, W2, Wo, C, x.dtype)
+    Cp = _pad_channels(C)
+    plan = plan_hfuse(B, H, H2, W, W2, Wo, Cp, x.dtype)
     if plan is None:
         raise ValueError("no legal hfuse block for this geometry")
 
     x = bias_act(x, b)
     prec = _prec(x, fp32_mxu)
+    if Cp != C:
+        # zero channels cost one extra lane tile of traffic but keep the
+        # kernel on small 128-channel blocks (plan_hfuse's legality note)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
     t3 = hfuse_middle(x, jnp.asarray(A_h_up, x.dtype),
                       jnp.asarray(A_w_up.T, x.dtype),
                       jnp.asarray(A_w_dn.T, x.dtype),
                       float(slope), float(gain),
                       None if clamp is None else float(clamp), plan)
+    if Cp != C:
+        t3 = t3[:, :, :C, :]
     Ad = jnp.asarray(A_h_dn, x.dtype)
     # closing H-down einsum restores NHWC on the smallest tensor of the layer
     return jnp.einsum("uh,bhcw->buwc", Ad, t3, precision=prec)
@@ -258,4 +291,5 @@ def fits_hfuse(B, H, W, C, up, down, fu_taps, fd_taps, padding,
     Wo = (W2 - fd_taps) // down + 1
     if H2 <= 0 or W2 <= 0 or Wo <= 0:
         return False
-    return plan_hfuse(B, H, H2, W, W2, Wo, C, dtype) is not None
+    return plan_hfuse(B, H, H2, W, W2, Wo, _pad_channels(C),
+                      dtype) is not None

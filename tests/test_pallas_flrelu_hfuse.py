@@ -42,6 +42,51 @@ def test_plan_feasibility():
     assert not hf.fits_hfuse(1, 8192, 8192, 512, 2, 2, 12, 12, 0)
 
 
+def test_plans_are_mosaic_legal_at_production_geometries():
+    """Every plan's channel tile must be a 128 multiple or the full padded C
+    — the round-5 sweep's Ct=64 fallback lowered in interpret mode but
+    failed Mosaic on-chip at every big 256² layer, silently excluding hfuse
+    from the hot half of the stack (`runs/r5_policy_fwd.txt`)."""
+    import jax.numpy as jnp
+
+    big_256_b8 = [  # (H, W, C, up, down, tu, td) per the sweep's hot layers
+        (150, 150, 512, 2, 2, 12, 12),
+        (150, 150, 362, 4, 2, 24, 12),
+        (278, 278, 256, 2, 2, 12, 12),
+        (278, 278, 181, 2, 2, 12, 12),
+        (278, 278, 128, 2, 2, 12, 12),
+    ]
+    for H, W, C, up, down, tu, td in big_256_b8:
+        pad = ((9, 8, 9, 8) if up == 2 else (-6, -9, -6, -9))
+        Cp = hf._pad_channels(C)
+        assert Cp % 128 == 0 or Cp <= 128, (C, Cp)
+        assert hf.fits_hfuse(8, H, W, C, up, down, tu, td, pad), (H, W, C)
+        # reconstruct the plan the wrapper will use and check tile legality
+        from image_compression_2_tpu.ops.upfirdn2d import _parse_padding
+
+        px0, px1, py0, py1 = _parse_padding(pad)
+        H2 = H * up + py0 + py1 - tu + 1
+        W2 = W * up + px0 + px1 - tu + 1
+        Wo = (W2 - td) // down + 1
+        p = hf.plan_hfuse(8, H, H2, W, W2, Wo, Cp, jnp.bfloat16)
+        assert p is not None
+        assert p.Ct % 128 == 0 or p.Ct == Cp, (p.Ct, Cp)
+
+
+def test_matches_reference_padded_channels():
+    """C not a multiple of 128 and > 128 rides the zero-padded channel path
+    (C=160 -> 256); must still match the reference exactly."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 14, 14, 160).astype(np.float32))
+    b = jnp.asarray(rng.randn(160).astype(np.float32))
+    fu, fd = _filters(12, 12)
+    kw = dict(up=2, down=2, padding=(9, 8, 8, 9), clamp=256.0)
+    ref = np.asarray(filtered_lrelu(x, fu, fd, b, mode="matmul", **kw))
+    got = np.asarray(filtered_lrelu(x, fu, fd, b, mode="hfuse", **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
 def test_matches_reference_up2_down2():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 20, 20, 128).astype(np.float32))

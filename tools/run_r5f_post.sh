@@ -1,8 +1,11 @@
 #!/bin/bash
-# Post-chain follow-on: when run_r5f_chain.sh's process exits, probe the
-# 4-bit lattice-QA coded row (tools/probe_qa4bit.py) on the freed chip and
-# fold the winner into RD_TABLE.md/json.
-# Usage: CHAINPID=$(cat /tmp/r5fchain.pid) setsid nohup tools/run_r5f_post.sh > runs/r5fpost_log.txt 2>&1 &
+# Post-chain follow-on: when run_r5f_chain.sh exits, the chip is free —
+#   1. flrelu policy sweep @256:8: the hfuse lane now LOWERS at the big
+#      layers (round-5 sweep had it Mosaic-failing there; the Ct=64 block
+#      was lane-illegal) — re-measure winners with legal 128/256 tiles
+#   2. bench; A/B-revert the policy file if the new winners regress it
+#   3. 4-bit lattice-QA coded row probe (tools/probe_qa4bit.py --apply)
+# Usage: CHAINPID=<real chain pid> setsid nohup tools/run_r5f_post.sh > runs/r5fpost_log.txt 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 
@@ -22,6 +25,39 @@ if [ -n "$CHAINPID" ]; then
 fi
 echo "== chain done at $(date -u) (left: $(left)s) =="
 
+echo "== [1] flrelu policy sweep @256:8 with the fixed hfuse lane (left: $(left)s) =="
+if [ "$(left)" -ge 9000 ]; then
+  cp image_compression_2_tpu/ops/flrelu_policy.json /tmp/policy_before_hfuse.json
+  timeout 3600 python tools/bench_flrelu_layers.py --emit-policy \
+    --policy-configs 256:8 2>&1 | tee runs/r5f_policy_hfuse.txt \
+    || echo "WARNING: hfuse policy sweep failed" >&2
+  commit_one "Forward flrelu policy re-sweep @256:8: hfuse now lowers at the big layers (legal 128/256 lane tiles + padded channels)" \
+    image_compression_2_tpu/ops/flrelu_policy.json runs/r5f_policy_hfuse.txt
+
+  echo "== [2] bench + A/B guard (left: $(left)s) =="
+  timeout 1000 python bench.py 2>&1 | tee runs/r5f_bench_hfuse.txt || true
+  VAL=$(sed -n 's/.*"value": \([0-9.]*\).*/\1/p' runs/r5f_bench_hfuse.txt | tail -1)
+  echo "bench with re-swept policy: ${VAL:-fail}"
+  commit_one "Bench after the hfuse policy re-sweep" runs/r5f_bench_hfuse.txt
+  BASE=$(sed -n 's/.*"value": \([0-9.]*\).*/\1/p' runs/r5f_bench_final.txt 2>/dev/null | tail -1)
+  WORSE=$(python -c "print(1 if not '${VAL:-}' or ('${BASE:-}' and float('${VAL:-0}') < float('${BASE:-0}') - 0.7) else 0)")
+  if [ "$WORSE" = "1" ] && [ "$(left)" -ge 2000 ]; then
+    cp /tmp/policy_before_hfuse.json image_compression_2_tpu/ops/flrelu_policy.json
+    timeout 1000 python bench.py 2>&1 | tee runs/r5f_bench_revert.txt || true
+    VALB=$(sed -n 's/.*"value": \([0-9.]*\).*/\1/p' runs/r5f_bench_revert.txt | tail -1)
+    KEEPB=$(python -c "print(1 if '${VALB:-}' and float('${VALB:-0}') > float('${VAL:-0}') else 0)")
+    if [ "$KEEPB" = "1" ]; then
+      commit_one "Revert to the pre-sweep policy: re-swept winners regressed the bench ($VAL vs $VALB img/s)" \
+        image_compression_2_tpu/ops/flrelu_policy.json runs/r5f_bench_revert.txt
+    else
+      git checkout -- image_compression_2_tpu/ops/flrelu_policy.json
+      commit_one "Policy A/B after hfuse re-sweep: new winners kept ($VAL vs ${VALB:-fail})" \
+        runs/r5f_bench_revert.txt
+    fi
+  fi
+fi
+
+echo "== [3] 4-bit lattice-QA coded row (left: $(left)s) =="
 L=$(left)
 if [ "$L" -ge 2400 ]; then
   TMO=$(( L - 900 )); [ "$TMO" -gt 6000 ] && TMO=6000
