@@ -59,12 +59,38 @@ fi
 
 echo "== [3] 4-bit lattice-QA coded row (left: $(left)s) =="
 L=$(left)
-if [ "$L" -ge 2400 ]; then
-  TMO=$(( L - 900 )); [ "$TMO" -gt 6000 ] && TMO=6000
+if [ "$L" -ge 5400 ]; then
+  TMO=$(( L - 3600 )); [ "$TMO" -gt 6000 ] && TMO=6000
   timeout "$TMO" python tools/probe_qa4bit.py --apply \
     2>&1 | tee runs/r5f_qa4bit.txt \
     || echo "WARNING: qa4bit probe failed" >&2
   commit_one "4-bit lattice-QA coded row: quantization-aware refinement on the snapped fixed-step grid" \
     RD_TABLE.md RD_TABLE.json runs/r5f_qa4bit.txt
+fi
+
+echo "== [4] flrelu policy sweep @1024:2 (hfuse never measured there; left: $(left)s) =="
+if [ "$(left)" -ge 3300 ]; then
+  cp image_compression_2_tpu/ops/flrelu_policy.json /tmp/policy_before_1024.json
+  timeout 2700 python tools/bench_flrelu_layers.py --emit-policy \
+    --policy-configs 1024:2 2>&1 | tee runs/r5f_policy_1024.txt \
+    || echo "WARNING: 1024 policy sweep failed" >&2
+  commit_one "Forward flrelu policy sweep @1024:2 with the fixed hfuse lane" \
+    image_compression_2_tpu/ops/flrelu_policy.json runs/r5f_policy_1024.txt
+fi
+if [ "$(left)" -ge 1500 ]; then
+  timeout 1200 python bench.py --res 1024 --batch 2 \
+    2>&1 | tee runs/r5f_bench_1024.txt || true
+  V1=$(sed -n 's/.*"value": \([0-9.]*\).*/\1/p' runs/r5f_bench_1024.txt | tail -1)
+  echo "1024 bench: ${V1:-fail} (round-4: 7.94)"
+  WORSE1=$(python -c "print(1 if not '${V1:-}' or float('${V1:-0}') < 7.94 else 0)")
+  if [ "$WORSE1" = "1" ] && [ -e /tmp/policy_before_1024.json ]; then
+    cp /tmp/policy_before_1024.json image_compression_2_tpu/ops/flrelu_policy.json
+    echo "1024 sweep regressed the flagship bench — reverted the policy file"
+    commit_one "Revert the 1024 sweep winners: flagship bench regressed (${V1:-fail} vs 7.94 img/s)" \
+      image_compression_2_tpu/ops/flrelu_policy.json runs/r5f_bench_1024.txt
+  else
+    commit_one "1024 flagship bench after the policy sweep (${V1:-fail} img/s)" \
+      runs/r5f_bench_1024.txt
+  fi
 fi
 echo "r5f post done at $(date -u) (left: $(left)s)"
