@@ -202,7 +202,9 @@ def main():
                   "PSNR is mean ± 95% CI over the held-out samples.  "
                   "LPIPS column = random-feature fallback (no pretrained VGG "
                   "in this environment): comparable between rows, not with "
-                  "the reference's absolute LPIPS.\n\n"
+                  "the reference's absolute LPIPS.  Refined `+cabac` rows "
+                  "ride the per-(image, layer) fixed-step grid "
+                  "(codec/uniform_cabac.py refined_grid='fixed-step').\n\n"
                   "| method | PSNR (dB) | MS-SSIM | LPIPS(rf) | ratio | bpp "
                   "|\n|---|---|---|---|---|---|\n")
         lines = [
