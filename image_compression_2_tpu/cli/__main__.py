@@ -190,7 +190,7 @@ def cmd_train_gumbel(args):
         seed=args.seed, truncation_psi=args.truncation_psi,
         w_weight=args.w_weight, lr_decay=args.lr_decay,
         val_samples=args.val_samples, pool_grids=args.pool_grids,
-        hidden_dims=args.hidden_dims,
+        hidden_dims=args.hidden_dims, remat=args.remat,
     )
 
 
@@ -583,6 +583,9 @@ def main(argv=None):
                    help="projector pool grids 'global,medium,fine'")
     p.add_argument("--hidden-dims", type=_parse_grid, default=None,
                    help="projector MLP widths 'global,medium,fine'")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the synthesis chain in the train "
+                        "step (memory for recompute; 1024² flagship config)")
     p.set_defaults(fn=cmd_train_gumbel)
 
     p = sub.add_parser("compress", help="compress an image file")

@@ -33,7 +33,17 @@ def make_stage2_loss_fn(
     lpips_apply: Optional[Callable],
     weights: LossWeights,
     n_embeddings: int,
+    remat: bool = False,
 ):
+    def synth(gen_vars, w_disc):
+        return generator.apply(gen_vars, w_disc, method="synthesis")
+
+    if remat:
+        # rematerialize the frozen towers on the backward pass — same
+        # memory/FLOP trade as stage 1 (see stage1.make_loss_fn); required
+        # for the 1024² flagship config on one chip
+        synth = jax.checkpoint(synth)
+
     def loss_fn(params, gen_vars, lpips_vars, w_avg, batch, key):
         # (image, w_true) tuples enable latent supervision, as in stage 1
         x, w_true = batch if isinstance(batch, tuple) else (batch, None)
@@ -49,15 +59,15 @@ def make_stage2_loss_fn(
         w_disc, perplexity, _ = discretization.apply(
             {"params": params["discretization"]}, means, hard=True, key=gum_key
         )
-        img = generator.apply(gen_vars, w_disc, method="synthesis")
+        img = synth(gen_vars, w_disc)
         if img.shape[1] != x.shape[1]:
             img = jax.image.resize(img, x.shape, method="bilinear")
+        if lpips_apply is not None:
+            lp = jax.checkpoint(lpips_apply) if remat else lpips_apply
+            percep = jnp.mean(lp(lpips_vars, x, img))
+        else:
+            percep = jnp.zeros([])
         rec = mse_loss(x, img)
-        percep = (
-            jnp.mean(lpips_apply(lpips_vars, x, img))
-            if lpips_apply is not None
-            else jnp.zeros([])
-        )
         kl = kl_to_w_avg(means, logvars, w_avg[None, None, :])
         perp = perplexity_loss(perplexity, n_embeddings)
         total = (
@@ -95,9 +105,11 @@ def make_stage2_train_step(
     n_embeddings: int = 256,
     mesh: Optional[Mesh] = None,
     tp_examples=None,
+    remat: bool = False,
 ):
     loss_fn = make_stage2_loss_fn(
-        encoder, generator, discretization, lpips_apply, weights, n_embeddings
+        encoder, generator, discretization, lpips_apply, weights, n_embeddings,
+        remat=remat,
     )
 
     def step_fn(state: TrainState, gen_vars, lpips_vars, w_avg, x, key):
@@ -155,6 +167,7 @@ def build_stage2(
     mesh: Optional[Mesh] = None,
     seed: int = 0,
     lr_decay_steps: int = 0,
+    remat: bool = False,
 ):
     from .lpips import create_lpips
     from .stage1 import Stage1Setup
@@ -204,7 +217,7 @@ def build_stage2(
             tp_examples = (state, gen_vars)
     train_step = make_stage2_train_step(
         encoder, generator, discretization, optimizer, lpips_apply, weights,
-        n_embeddings, mesh, tp_examples=tp_examples,
+        n_embeddings, mesh, tp_examples=tp_examples, remat=remat,
     )
 
     loss_fn = make_stage2_loss_fn(

@@ -551,6 +551,7 @@ def train_gumbel_hvae(
     val_samples: int = 0,
     pool_grids: Optional[Tuple[int, int, int]] = None,
     hidden_dims: Optional[Tuple[int, int, int]] = None,
+    remat: bool = False,
 ) -> Tuple[TrainState, Dict]:
     """Stage-2 trainer (flag surface mirrors
     gumbel_softmax_compression.py:700-737)."""
@@ -597,6 +598,7 @@ def train_gumbel_hvae(
         lr_decay_steps=_decay_steps(lr_decay, num_epochs, train_samples,
                                     batch_size, dataset_path,
                                     training_resolution),
+        remat=remat,
     )
     if resume_state is not None:
         setup.state, _, full = restore_train_state(resume_from, setup.state)
