@@ -42,9 +42,14 @@ def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict]:
     otherwise returns raw nested dicts."""
     with open(path, "rb") as f:
         magic = f.read(4)
-        assert magic == _MAGIC, f"not an ic2t checkpoint: {path}"
+        if magic != _MAGIC:
+            # ValueError (not assert) so resume fallbacks — resolve_resume_
+            # checkpoint / restore_train_state — can catch a truncated or
+            # foreign file and fall back instead of crashing the run.
+            raise ValueError(f"not an ic2t checkpoint: {path}")
         version, meta_len = struct.unpack("<II", f.read(8))
-        assert version == _VERSION, version
+        if version != _VERSION:
+            raise ValueError(f"unsupported ic2t version {version} in {path}")
         meta = json.loads(f.read(meta_len).decode("utf-8"))
         payload = f.read()
     if target is not None:
